@@ -1,0 +1,220 @@
+"""Problem configuration mirroring the reference's PETSc options database.
+
+The reference configures everything through ~25 PETSc CLI flags with defaults
+set in TopOpt::SetUp (reference TopOpt.cc:106-135) and read in SetUpMESH /
+SetUpOPT (TopOpt.cc:154-165, 323-337) plus the restart flags
+(TopOpt.cc:408-450, LinearElasticity.cc:561-585).  This module provides a
+typed dataclass with the same names and defaults, and a CLI parser accepting
+the same single-dash flags for drop-in comparability.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class TopOptConfig:
+    """All knobs of the optimization problem + solvers.
+
+    Field names/defaults follow the reference CLI one-to-one
+    (TopOpt.cc:106-135):  ``-nx -ny -nz`` are *node* counts, the design grid
+    is ``(nx-1, ny-1, nz-1)`` elements.
+    """
+
+    # --- FEM mesh (TopOpt.cc:106-117) ---
+    nx: int = 65
+    ny: int = 33
+    nz: int = 33
+    xcmin: float = 0.0
+    xcmax: float = 2.0
+    ycmin: float = 0.0
+    ycmax: float = 1.0
+    zcmin: float = 0.0
+    zcmax: float = 1.0
+    nu: float = 0.3
+    nlvls: int = 4  # multigrid levels
+
+    # --- Optimization (TopOpt.cc:119-128) ---
+    volfrac: float = 0.12
+    maxItr: int = 400
+    rmin: float = 0.08
+    penal: float = 3.0
+    Emin: float = 1.0e-9
+    Emax: float = 1.0
+    filter: int = 1  # 0=sensitivity, 1=density, 2=PDE; other = no filtering
+    Xmin: float = 0.0
+    Xmax: float = 1.0
+    movlim: float = 0.2
+    nconstraints: int = 1  # m — reference TopOpt(nconstraints) (TopOpt.cc:15)
+
+    # --- Projection filter (TopOpt.cc:131-135) ---
+    projectionFilter: bool = False
+    beta: float = 0.1
+    betaFinal: float = 48.0
+    eta: float = 0.0
+
+    # --- Restart (TopOpt.cc:401-450) ---
+    restart: bool = True
+    onlyLoadDesign: bool = False
+    restartFileVec: str = ""  # here: one .npz per checkpoint stream
+    restartFileItr: str = ""  # kept for CLI parity; unused (itr lives in npz)
+    restartFileVecSol: str = ""
+    workdir: str = "./"
+
+    # --- Linear solver (LinearElasticity.cc:619-635; TPU-native choices) ---
+    # Outer Krylov: the reference uses FGMRES(100); K is SPD after the
+    # symmetric Dirichlet treatment (LinearElasticity.cc:530-538) so we use
+    # flexible-PCG by default (tpu-friendly short recurrence).
+    ksp_rtol: float = 1.0e-5
+    ksp_maxit: int = 200
+    coarse_rtol: float = 1.0e-8
+    coarse_maxit: int = 30
+    smooth_sweeps: int = 4  # Chebyshev degree per pre/post smooth
+    cheby_ev_iters: int = 12  # power-iteration count for lambda_max estimate
+    cheby_upper: float = 1.1  # smooth band = [lower*lmax, upper*lmax]
+    cheby_lower: float = 0.1
+
+    # --- PDE filter solver (PDEFilter.cc:269-380) ---
+    pde_nlvls: int = 3
+    pde_rtol: float = 1.0e-8
+    pde_maxit: int = 60
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    dtype: str = "float32"  # field dtype: "float32" | "float64"
+    precise_dots: bool = True  # upcast CG/objective reductions to f64
+    mesh_shape: tuple = (1, 1, 1)  # device mesh (x, y, z); product = #devices
+    output_cadence_vtu: bool = True  # write .vtu fields like main.cc:114-116
+
+    # ----------------------------------------------------------------- #
+
+    @property
+    def m(self) -> int:
+        return self.nconstraints
+
+    @property
+    def nelx(self) -> int:
+        return self.nx - 1
+
+    @property
+    def nely(self) -> int:
+        return self.ny - 1
+
+    @property
+    def nelz(self) -> int:
+        return self.nz - 1
+
+    @property
+    def nelem(self) -> int:
+        return self.nelx * self.nely * self.nelz
+
+    @property
+    def ndof(self) -> int:
+        return 3 * self.nx * self.ny * self.nz
+
+    @property
+    def dx(self) -> float:
+        return (self.xcmax - self.xcmin) / (self.nx - 1)
+
+    @property
+    def dy(self) -> float:
+        return (self.ycmax - self.ycmin) / (self.ny - 1)
+
+    @property
+    def dz(self) -> float:
+        return (self.zcmax - self.zcmin) / (self.nz - 1)
+
+    @property
+    def jnp_dtype(self):
+        return jnp.float64 if self.dtype == "float64" else jnp.float32
+
+    def validate(self) -> None:
+        """MG-compatibility check (reference TopOpt.cc:183-201).
+
+        Every axis must satisfy (n-1) % 2^(nlvls-1) == 0 so the element grid
+        can be halved nlvls-1 times.  The reference exit(0)s; we raise.
+        """
+        div = 2 ** (self.nlvls - 1)
+        for name, n in (("x", self.nx), ("y", self.ny), ("z", self.nz)):
+            if (n - 1) % div != 0:
+                raise ValueError(
+                    "MESH DIMENSION NOT COMPATIBLE WITH NUMBER OF MULTIGRID "
+                    f"LEVELS: {name} - number of nodes {n} cannot be halved "
+                    f"{self.nlvls - 1} times"
+                )
+        if self.filter == 0 and self.Xmin < 0.001:
+            # Prevent division by zero in the sensitivity filter
+            # (reference TopOpt.cc:357-359).
+            self.Xmin = 0.001
+
+    # ----------------------------------------------------------------- #
+    # CLI (PETSc options style: single-dash long flags; TopOpt.cc:154-165)
+
+    _INT_FLAGS = ("nx", "ny", "nz", "nlvls", "maxItr", "filter", "nconstraints",
+                  "ksp_maxit", "smooth_sweeps", "pde_nlvls", "pde_maxit",
+                  "coarse_maxit", "cheby_ev_iters")
+    _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
+                   "precise_dots", "output_cadence_vtu")
+    _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
+                  "workdir", "dtype")
+
+    @classmethod
+    def from_args(cls, argv: Sequence[str]) -> "TopOptConfig":
+        cfg = cls()
+        fields = {f.name for f in dataclasses.fields(cls)}
+        i = 0
+        argv = list(argv)
+        while i < len(argv):
+            tok = argv[i]
+            if not tok.startswith("-"):
+                raise ValueError(f"unexpected argument: {tok}")
+            name = tok.lstrip("-")
+            if name not in fields:
+                raise ValueError(f"unknown option: {tok}")
+            if i + 1 >= len(argv):
+                raise ValueError(f"option {tok} needs a value")
+            val = argv[i + 1]
+            if name in cls._INT_FLAGS:
+                setattr(cfg, name, int(val))
+            elif name in cls._BOOL_FLAGS:
+                setattr(cfg, name, val.lower() in ("1", "true", "yes", "on"))
+            elif name in cls._STR_FLAGS:
+                setattr(cfg, name, val)
+            elif name == "mesh_shape":
+                setattr(cfg, name, tuple(int(v) for v in val.split(",")))
+            else:
+                setattr(cfg, name, float(val))
+            i += 2
+        cfg.validate()
+        return cfg
+
+    def banner(self) -> str:
+        """Config printout equivalent to TopOpt.cc:168-180, 339-353."""
+        lines = [
+            "#" * 62,
+            "######################### FEM settings #######################",
+            f"# Number of nodes: (-nx,-ny,-nz):        ({self.nx},{self.ny},{self.nz})",
+            f"# Number of degree of freedom:           {self.ndof}",
+            f"# Number of elements:                    ({self.nelx},{self.nely},{self.nelz})",
+            f"# Dimensions: (-xcmin,-xcmax,..,-zcmax): ({self.xcmax - self.xcmin},{self.ycmax - self.ycmin},{self.zcmax - self.zcmin})",
+            f"# -nlvls: {self.nlvls}",
+            "################### Optimization settings ####################",
+            f"# Problem size: n= {self.nelem}, m= {self.m}",
+            f"# -filter: {self.filter}  (0=sens., 1=dens, 2=PDE)",
+            f"# -rmin: {self.rmin}",
+            f"# -projectionFilter: {int(self.projectionFilter)}  (0/1)",
+            f"# -beta: {self.beta}",
+            f"# -betaFinal: {self.betaFinal}",
+            f"# -eta: {self.eta}",
+            f"# -volfrac: {self.volfrac}",
+            f"# -penal: {self.penal}",
+            f"# -Emin/-Emax: {self.Emin:e} - {self.Emax:e}",
+            f"# -nu: {self.nu}",
+            f"# -maxItr: {self.maxItr}",
+            f"# -movlim: {self.movlim}",
+            "#" * 62,
+        ]
+        return "\n".join(lines)

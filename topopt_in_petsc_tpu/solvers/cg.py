@@ -1,0 +1,109 @@
+"""Preconditioned (flexible) conjugate gradients.
+
+TPU-native replacement for the reference's outer Krylov loop.  The reference
+uses FGMRES(100) (LinearElasticity.cc:638-650) because its V-cycle smoothers
+(GMRES+SOR) make the preconditioner nonstationary; the stiffness matrix K is
+SPD after the symmetric Dirichlet treatment K <- N'KN + (I-N)
+(LinearElasticity.cc:530-538), so with an SPD multigrid preconditioner the
+right TPU-native Krylov method is CG: short recurrences (no Arnoldi basis of
+100 vectors in HBM), two dots per iteration (psum over the device mesh).
+The flexible (Polak-Ribiere / IPCG) variant is the default, which tolerates
+the slight nonstationarity introduced by a CG coarse-level solve, the same
+robustness role FGMRES plays in the reference.
+
+Everything runs inside `lax.while_loop` (jit-compatible, no host syncs);
+dot products optionally accumulate in float64 (the reference is all-f64
+PETSc; we keep f32 fields + f64 reductions to match its convergence
+behavior at rtol 1e-5).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _dot(a: jax.Array, b: jax.Array, precise: bool) -> jax.Array:
+    if precise and a.dtype != jnp.float64:
+        return jnp.vdot(
+            a.astype(jnp.float64).ravel(), b.astype(jnp.float64).ravel()
+        )
+    return jnp.vdot(a.ravel(), b.ravel())
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array  # int32
+    relres: jax.Array  # final ||r|| / ||b||
+
+
+def pcg(
+    A: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: jax.Array,
+    M: Callable[[jax.Array], jax.Array] | None = None,
+    *,
+    rtol: float = 1e-5,
+    atol: float = 1e-50,
+    maxiter: int = 200,
+    flexible: bool = True,
+    precise_dots: bool = True,
+) -> CGResult:
+    """Solve A x = b with preconditioned CG, nonzero initial guess.
+
+    Matches the reference solver contract (LinearElasticity.cc:619-647):
+    rtol 1e-5, maxit 200, initial guess nonzero, convergence on the
+    preconditioned... here on the true residual 2-norm vs ||b||.
+    """
+    if M is None:
+        M = lambda r: r
+
+    dot = partial(_dot, precise=precise_dots)
+
+    r = b - A(x0)
+    z = M(r)
+    rz = dot(r, z)
+    bnorm = jnp.sqrt(dot(b, b))
+    rnorm0 = jnp.sqrt(dot(r, r))
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    class State(NamedTuple):
+        x: jax.Array
+        r: jax.Array
+        z: jax.Array
+        p: jax.Array
+        rz: jax.Array
+        rnorm: jax.Array
+        k: jax.Array
+
+    def cond(s: State):
+        return jnp.logical_and(s.k < maxiter, s.rnorm > tol)
+
+    def body(s: State):
+        Ap = A(s.p)
+        pAp = dot(s.p, Ap)
+        alpha = (s.rz / pAp).astype(b.dtype)
+        x = s.x + alpha * s.p
+        r = s.r - alpha * Ap
+        z = M(r)
+        if flexible:
+            # Polak-Ribiere: robust to slightly nonstationary M.
+            beta_num = dot(z, r - s.r)
+        else:
+            beta_num = dot(z, r)
+        rz = dot(r, z)
+        beta = (beta_num / s.rz).astype(b.dtype)
+        p = z + beta * s.p
+        rnorm = jnp.sqrt(dot(r, r))
+        return State(x, r, z, p, rz, rnorm, s.k + 1)
+
+    init = State(x0, r, z, z, rz, rnorm0, jnp.asarray(0, jnp.int32))
+    final = jax.lax.while_loop(cond, body, init)
+    return CGResult(
+        x=final.x,
+        iters=final.k,
+        relres=final.rnorm / jnp.maximum(bnorm, 1e-300),
+    )
