@@ -1,0 +1,27 @@
+"""CLI entry point: `python -m topopt_in_petsc_tpu -nx 65 -ny 33 -nz 33 ...`
+
+Accepts the reference's PETSc-style single-dash flags (TopOpt.cc:154-165,
+323-337) — run the default cantilever with no arguments, like
+`mpirun -np 4 ./topopt` runs the reference's default.
+"""
+
+import sys
+
+import jax
+
+from topopt_in_petsc_tpu.config import TopOptConfig
+from topopt_in_petsc_tpu.driver import run_topopt
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    # f64 scalar reductions on top of f32 fields (like the reference's
+    # all-f64 PETSc arithmetic where it matters for convergence).
+    jax.config.update("jax_enable_x64", True)
+    cfg = TopOptConfig.from_args(argv)
+    run_topopt(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,132 @@
+"""One fully-fused optimization iteration as a single jitted function.
+
+This is the whole per-iteration pipeline of main.cc:54-123 — state solve,
+objective/sensitivities, filter chain rule, movelimits, MMA dual solve,
+design filtering — traced into ONE XLA program, so a sharded invocation
+partitions every stage over the same device mesh with no host round-trips.
+The interactive Driver keeps stages separate for logging/cadence control;
+this fused step is the production hot loop and the multi-chip
+compile-validation path (`__graft_entry__.dryrun_multichip`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from topopt_in_petsc_tpu.config import TopOptConfig
+from topopt_in_petsc_tpu.grid import Grid
+from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+from topopt_in_petsc_tpu.opt.filters import DesignFilter
+from topopt_in_petsc_tpu.opt.mma import MMA
+
+
+class OptState(NamedTuple):
+    x: jax.Array  # design
+    xTilde: jax.Array  # filtered design
+    xPhys: jax.Array  # physical design
+    u: jax.Array  # state field (warm start)
+    L: jax.Array  # MMA lower asymptotes
+    U: jax.Array  # MMA upper asymptotes
+    xo1: jax.Array  # design history k-1
+    xo2: jax.Array  # design history k-2
+    fscale: jax.Array  # objective scale
+    fx: jax.Array  # last compliance
+    gx: jax.Array  # last constraints
+    ch: jax.Array  # last design change
+    solver_iters: jax.Array
+
+
+def make_fused_step(cfg: TopOptConfig, mesh=None):
+    """Returns (step_fn, init_state).  step_fn: OptState -> OptState.
+
+    If `mesh` is given, init_state arrays are device_put with the canonical
+    shardings (element fields P('x','y','z'), nodal P('x','y','z',None));
+    jit then propagates the shardings through the whole step.
+    """
+    cfg.validate()
+    grid = Grid.from_config(cfg)
+    physics = LinearElasticity(cfg, grid)
+    filt = DesignFilter(cfg, grid)
+    mma = MMA(
+        grid.nelem, cfg.m, grid.ne, cfg.jnp_dtype,
+        precise_dots=cfg.precise_dots,
+    )
+    dt = cfg.jnp_dtype
+    beta = jnp.asarray(cfg.beta, dt)
+    eta = jnp.asarray(cfg.eta, dt)
+    projection = bool(cfg.projectionFilter)
+
+    def step(s: OptState) -> OptState:
+        res = physics._step_impl(s.xPhys, s.u)
+        dfdx = res.dfdx * s.fscale
+        dfdx, dgdx = filt._gradients_impl(
+            s.x, s.xTilde, dfdx, res.dgdx, beta, eta,
+            projection=projection,
+        )
+        xmin, xmax = mma._movelimit_impl(
+            s.x,
+            jnp.asarray(cfg.Xmin, dt),
+            jnp.asarray(cfg.Xmax, dt),
+            jnp.asarray(cfg.movlim, dt),
+        )
+        x_new, L, U, lam, y, z = mma._update_impl(
+            s.x, dfdx, res.gx, dgdx, xmin, xmax,
+            s.L, s.U, s.xo1, s.xo2, fresh_asymptotes=False,
+        )
+        ch = jnp.max(jnp.abs(x_new - s.x))
+        xTilde, xPhys = filt._project_impl(
+            x_new, beta, eta, projection=projection
+        )
+        return OptState(
+            x=x_new, xTilde=xTilde, xPhys=xPhys, u=res.u,
+            L=L, U=U, xo1=s.x, xo2=s.xo1,
+            fscale=s.fscale, fx=res.fx, gx=res.gx, ch=ch,
+            solver_iters=res.iters,
+        )
+
+    x0 = jnp.full(grid.ne, cfg.volfrac, dtype=dt)
+    u0 = jnp.zeros((*grid.nn, 3), dtype=dt)
+    # pre-populated asymptotes (the fused step always runs the adaptive
+    # k>2 branch; the Driver handles the first two iterations)
+    span = cfg.Xmax - cfg.Xmin
+    init = OptState(
+        x=x0,
+        xTilde=x0,
+        xPhys=x0,
+        u=u0,
+        L=x0 - 0.5 * span,
+        U=x0 + 0.5 * span,
+        xo1=x0,
+        xo2=x0,
+        fscale=jnp.asarray(1.0, dt),
+        fx=jnp.asarray(0.0, dt),
+        gx=jnp.zeros((cfg.m,), dt),
+        ch=jnp.asarray(1.0, dt),
+        solver_iters=jnp.asarray(0, jnp.int32),
+    )
+
+    if mesh is not None:
+        from topopt_in_petsc_tpu.parallel.mesh import (
+            elem_sharding,
+            node_sharding,
+            replicated,
+        )
+
+        es, ns, rs = elem_sharding(mesh), node_sharding(mesh), replicated(
+            mesh
+        )
+        shardings = OptState(
+            x=es, xTilde=es, xPhys=es, u=ns, L=es, U=es, xo1=es, xo2=es,
+            fscale=rs, fx=rs, gx=rs, ch=rs, solver_iters=rs,
+        )
+        init = jax.tree_util.tree_map(jax.device_put, init, shardings)
+        step_jit = jax.jit(
+            step, in_shardings=(shardings,), out_shardings=shardings
+        )
+    else:
+        step_jit = jax.jit(step)
+
+    return step_jit, init
