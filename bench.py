@@ -1,0 +1,172 @@
+"""Benchmark harness — run on one real TPU chip.
+
+Primary metric (stdout, ONE json line): effective SpMV throughput of the
+matrix-free elasticity operator at 256^3 elements, in nnz/s.  "Effective
+nnz" counts the nonzeros the reference's assembled BAIJ matrix would hold:
+81 block-couplings per node x 3x3 entries = 729 per node-row triple, i.e.
+27 * 9 * ndof (SURVEY §6 / BASELINE.md).
+
+vs_baseline: ratio against the reference's estimated per-core CPU SpMV
+throughput of 5.0e8 nnz/s (a PETSc BAIJ SpMV streams ~12 bytes/nnz; at
+~6 GB/s effective per-core memory bandwidth that is ~5e8 nnz/s — the repo
+publishes no numbers, BASELINE.md requires an estimate to be stated).
+Target from BASELINE.md: vs_baseline >= 2.
+
+Extra diagnostics (stderr): MG-PCG solve DOF/s and wall-clock per full
+optimization iteration at 128^3.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PER_CORE_CPU_NNZ_S = 5.0e8
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _time_fn(fn, *args, reps=20, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_spmv(nelem_axis: int) -> float:
+    """Masked K@u at nelem_axis^3 elements; returns seconds per matvec."""
+    from topopt_in_petsc_tpu.grid import Grid
+    from topopt_in_petsc_tpu.models.elasticity import build_cantilever_bc
+    from topopt_in_petsc_tpu.models.elements import hex8_stiffness
+    from topopt_in_petsc_tpu.ops.hex_operator import apply_hex_operator
+
+    n = nelem_axis + 1
+    grid = Grid(nn=(n, n, n), lo=(0, 0, 0), hi=(2, 1, 1))
+    KE = jnp.asarray(hex8_stiffness(*grid.h, 0.3), jnp.float32)
+    N_np, _ = build_cantilever_bc(grid, dtype=np.float32)
+    N = jnp.asarray(N_np)
+
+    key = jax.random.PRNGKey(0)
+    E = jax.random.uniform(
+        key, grid.ne, dtype=jnp.float32, minval=1e-9, maxval=1.0
+    )
+    u = jax.random.normal(
+        jax.random.PRNGKey(1), (*grid.nn, 3), dtype=jnp.float32
+    )
+
+    @jax.jit
+    def A(v):
+        Kv = apply_hex_operator(N * v, E, KE)
+        return N * Kv + (1.0 - N) * v
+
+    dt = _time_fn(A, u)
+    return dt, grid
+
+
+def bench_solve(nelem_axis: int):
+    """Full MG-PCG state solve at nelem_axis^3 elements."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    n = nelem_axis + 1
+    cfg = TopOptConfig(
+        nx=n, ny=n, nz=n, nlvls=4, dtype="float32",
+        precise_dots=False, ksp_maxit=200,
+    )
+    cfg.validate()
+    phys = LinearElasticity(cfg)
+    x = jnp.full(phys.grid.ne, cfg.volfrac, dtype=jnp.float32)
+    u0 = jnp.zeros((*phys.grid.nn, 3), jnp.float32)
+
+    res = phys.solve_state(x, u0)  # compile + first solve
+    jax.block_until_ready(res.x)
+    t0 = time.perf_counter()
+    res = phys.solve_state(x, u0)
+    jax.block_until_ready(res.x)
+    dt = time.perf_counter() - t0
+    return dt, int(res.iters), float(res.relres), cfg
+
+
+def bench_opt_iter(nelem_axis: int):
+    """One fused optimization iteration (solve+filter+MMA)."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
+
+    n = nelem_axis + 1
+    cfg = TopOptConfig(
+        nx=n, ny=n, nz=n, nlvls=4, dtype="float32",
+        precise_dots=False, ksp_maxit=200,
+    )
+    step, state = make_fused_step(cfg)
+    s = step(state)  # compile + iteration 1
+    jax.block_until_ready(s.x)
+    t0 = time.perf_counter()
+    s2 = step(s)
+    jax.block_until_ready(s2.x)
+    return time.perf_counter() - t0, s2
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    # --- primary: SpMV nnz/s at 256^3 (fallback 128^3 on OOM) ---
+    for ne in (256, 128):
+        try:
+            dt, grid = bench_spmv(ne)
+            break
+        except Exception as e:  # noqa: BLE001
+            log(f"spmv@{ne}^3 failed: {type(e).__name__}: {e}")
+    ndof = 3 * grid.nnode
+    nnz_eff = 27 * 9 * ndof
+    nnz_s = nnz_eff / dt
+    log(
+        f"spmv {ne}^3: {dt * 1e3:.3f} ms/matvec, ndof={ndof:,}, "
+        f"eff {nnz_s / 1e9:.2f} Gnnz/s"
+    )
+
+    # --- diagnostics: MG-PCG solve + full opt iteration at 128^3 ---
+    try:
+        sdt, iters, relres, cfg = bench_solve(128)
+        dof_s = cfg.ndof * max(iters, 1) / sdt
+        log(
+            f"solve 128^3: {sdt:.3f} s, iters={iters}, relres={relres:.2e},"
+            f" PCG {dof_s / 1e6:.1f} Mdof*iter/s"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"solve bench failed: {type(e).__name__}: {e}")
+
+    try:
+        it_dt, s2 = bench_opt_iter(128)
+        log(
+            f"opt-iter 128^3: {it_dt:.3f} s/iteration "
+            f"(solver_iters={int(s2.solver_iters)}, fx={float(s2.fx):.4f})"
+        )
+    except Exception as e:  # noqa: BLE001
+        log(f"opt-iter bench failed: {type(e).__name__}: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": f"elasticity_spmv_nnz_per_s_{ne}^3",
+                "value": nnz_s,
+                "unit": "nnz/s",
+                "vs_baseline": nnz_s / PER_CORE_CPU_NNZ_S,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

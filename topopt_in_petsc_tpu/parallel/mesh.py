@@ -59,8 +59,17 @@ def elem_sharding(mesh: Mesh, extra_dims: int = 0) -> NamedSharding:
 
 
 def node_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for (nx, ny, nz, dof) nodal fields."""
-    return NamedSharding(mesh, P(*AXES, None))
+    """Sharding for (nx, ny, nz, dof) nodal fields at jit boundaries.
+
+    Nodal grids have odd extents (n = e + 1) which XLA's GSPMD API refuses
+    to split unevenly at jit boundaries, so nodal *inputs/outputs* are
+    replicated; inside jit the element-sharded operands drive XLA to
+    partition the interior compute (intermediates may be unevenly sharded
+    internally).  The scalable path for giga-voxel runs is the explicit
+    shard_map halo engine (parallel.spmd), which carries overlapping local
+    blocks instead.
+    """
+    return NamedSharding(mesh, P())
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
