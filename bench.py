@@ -18,7 +18,9 @@ optimization iteration at 128^3.
 
 from __future__ import annotations
 
+import contextlib
 import json
+import signal
 import sys
 import time
 
@@ -26,11 +28,36 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: XLA programs at 128^3/256^3 take minutes to
+# compile on first build; cached reruns are seconds.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 PER_CORE_CPU_NNZ_S = 5.0e8
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+class StageTimeout(Exception):
+    pass
+
+
+@contextlib.contextmanager
+def stage_timeout(seconds: int):
+    """SIGALRM guard so one slow compile can't eat the whole bench."""
+
+    def handler(signum, frame):
+        raise StageTimeout()
+
+    old = signal.signal(signal.SIGALRM, handler)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def _time_fn(fn, *args, reps=20, warmup=3):
@@ -121,12 +148,13 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    # --- primary: SpMV nnz/s at 256^3 (fallback 128^3 on OOM) ---
+    # --- primary: SpMV nnz/s at 256^3 (fallback 128^3) ---
     for ne in (256, 128):
         try:
-            dt, grid = bench_spmv(ne)
+            with stage_timeout(420):
+                dt, grid = bench_spmv(ne)
             break
-        except Exception as e:  # noqa: BLE001
+        except (StageTimeout, Exception) as e:  # noqa: BLE001
             log(f"spmv@{ne}^3 failed: {type(e).__name__}: {e}")
     ndof = 3 * grid.nnode
     nnz_eff = 27 * 9 * ndof
@@ -138,22 +166,24 @@ def main():
 
     # --- diagnostics: MG-PCG solve + full opt iteration at 128^3 ---
     try:
-        sdt, iters, relres, cfg = bench_solve(128)
+        with stage_timeout(420):
+            sdt, iters, relres, cfg = bench_solve(128)
         dof_s = cfg.ndof * max(iters, 1) / sdt
         log(
             f"solve 128^3: {sdt:.3f} s, iters={iters}, relres={relres:.2e},"
             f" PCG {dof_s / 1e6:.1f} Mdof*iter/s"
         )
-    except Exception as e:  # noqa: BLE001
+    except (StageTimeout, Exception) as e:  # noqa: BLE001
         log(f"solve bench failed: {type(e).__name__}: {e}")
 
     try:
-        it_dt, s2 = bench_opt_iter(128)
+        with stage_timeout(420):
+            it_dt, s2 = bench_opt_iter(128)
         log(
             f"opt-iter 128^3: {it_dt:.3f} s/iteration "
             f"(solver_iters={int(s2.solver_iters)}, fx={float(s2.fx):.4f})"
         )
-    except Exception as e:  # noqa: BLE001
+    except (StageTimeout, Exception) as e:  # noqa: BLE001
         log(f"opt-iter bench failed: {type(e).__name__}: {e}")
 
     print(

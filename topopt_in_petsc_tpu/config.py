@@ -71,12 +71,14 @@ class TopOptConfig:
     # flexible-PCG by default (tpu-friendly short recurrence).
     ksp_rtol: float = 1.0e-5
     ksp_maxit: int = 200
+    coarse_op: str = "rediscretize"  # or "galerkin_octant" (exact
+    # level-1 Galerkin; comparable iteration counts, higher per-cycle cost)
     coarse_rtol: float = 1.0e-8
     coarse_maxit: int = 30
     smooth_sweeps: int = 4  # Chebyshev degree per pre/post smooth
     cheby_ev_iters: int = 12  # power-iteration count for lambda_max estimate
     cheby_upper: float = 1.1  # smooth band = [lower*lmax, upper*lmax]
-    cheby_lower: float = 0.1
+    cheby_lower: float = 0.06
 
     # --- PDE filter solver (PDEFilter.cc:269-380) ---
     pde_nlvls: int = 3
@@ -159,7 +161,7 @@ class TopOptConfig:
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
                    "precise_dots", "output_cadence_vtu")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
-                  "workdir", "dtype")
+                  "workdir", "dtype", "coarse_op")
 
     @classmethod
     def from_args(cls, argv: Sequence[str]) -> "TopOptConfig":

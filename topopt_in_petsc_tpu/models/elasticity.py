@@ -111,6 +111,7 @@ class LinearElasticity:
             coarse_rtol=cfg.coarse_rtol,
             coarse_maxit=cfg.coarse_maxit,
             precise_dots=cfg.precise_dots,
+            coarse_op=cfg.coarse_op,
         )
 
         self._step = jax.jit(self._step_impl)

@@ -124,6 +124,42 @@ def hex8_laplace_mass(dx: float, dy: float, dz: float):
     return K, M
 
 
+def octant_transfer_matrices(dof: int) -> np.ndarray:
+    """T_p (8, 8*dof, 8*dof): coarse-element corner dofs -> fine corner
+    dofs of child octant p, via trilinear embedding (nested Q1 spaces).
+
+    Child octant p sits at offset off_p in {0,1}^3 inside the coarse
+    element; its corner a lies at coarse-local coordinates
+    (off_p + off_a)/2, and T_p rows are the trilinear weights of the 8
+    coarse corners at that point.
+    """
+    T = np.zeros((8, 8 * dof, 8 * dof))
+    for p, op in enumerate(CORNER_OFFSETS):
+        for a, oa in enumerate(CORNER_OFFSETS):
+            pos = (np.array(op) + np.array(oa)) / 2.0  # in [0,1]^3
+            for b, ob in enumerate(CORNER_OFFSETS):
+                w = 1.0
+                for ax in range(3):
+                    w *= pos[ax] if ob[ax] == 1 else 1.0 - pos[ax]
+                for d in range(dof):
+                    T[p, a * dof + d, b * dof + d] = w
+    return T
+
+
+def galerkin_octant_matrices(KE_child: np.ndarray, dof: int) -> np.ndarray:
+    """KEp (8, 8*dof, 8*dof) = T_p^T KE_child T_p.
+
+    The exact Galerkin coarse element operator for nested trilinear
+    spaces:  P^T K_h P = sum_C S_C^T ( sum_p E_child_p KEp ) S_C  — the
+    coarse stiffness is a per-element combination of these 8 *constant*
+    matrices weighted by the 8 child coefficients (replacing the
+    reference's distributed RAP triple product, PC_MG_GALERKIN_BOTH,
+    LinearElasticity.cc:702, with zero extra memory).
+    """
+    T = octant_transfer_matrices(dof)
+    return np.stack([T[p].T @ KE_child @ T[p] for p in range(8)])
+
+
 def helmholtz_element_matrices(dx: float, dy: float, dz: float, R: float):
     """PDE-filter element operator KF = R^2 * Laplace + Mass (8x8) and the
     node<-element averaging weights TF (8,) == 1/8.

@@ -68,7 +68,10 @@ def scatter_element_dofs(
 
 
 def apply_hex_operator(
-    u: jax.Array, scale: jax.Array, KE: jax.Array
+    u: jax.Array,
+    scale: jax.Array,
+    KE: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Matrix-free `K @ u` with per-element scaling.
 
@@ -83,11 +86,15 @@ def apply_hex_operator(
     """
     ue = gather_element_dofs(u)
     # Scale before the contraction: scalar per element commutes with KE.
+    # precision HIGHEST: TPU matmuls default to bf16 inputs, which is fine
+    # for preconditioner-side applications but not for the outer Krylov
+    # residual; callers wanting the fast path pass precision explicitly.
     fe = jnp.einsum(
         "...i,ij->...j",
         ue * scale[..., None],
         KE,
         preferred_element_type=u.dtype,
+        precision=precision,
     )
     nn = (u.shape[0], u.shape[1], u.shape[2])
     return scatter_element_dofs(fe, nn)
@@ -120,8 +127,154 @@ def element_quadratic_form(u: jax.Array, KE: jax.Array) -> jax.Array:
     (LinearElasticity.cc:405-424), vectorized.
     """
     ue = gather_element_dofs(u)
-    w = jnp.einsum("...i,ij->...j", ue, KE, preferred_element_type=u.dtype)
+    w = jnp.einsum(
+        "...i,ij->...j",
+        ue,
+        KE,
+        preferred_element_type=u.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.sum(w * ue, axis=-1)
+
+
+def octant_split(E: jax.Array) -> jax.Array:
+    """(2ex, 2ey, 2ez) child-element field -> (8, ex, ey, ez) octant views
+    (strided subsampling in CORNER_OFFSETS order)."""
+    return jnp.stack(
+        [E[ox::2, oy::2, oz::2] for (ox, oy, oz) in CORNER_OFFSETS]
+    )
+
+
+def apply_hex_operator_octant(
+    u: jax.Array,
+    octants: jax.Array,
+    KEps: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Matrix-free apply of a Galerkin-coarsened operator:
+
+        K = sum_C S_C^T ( sum_p octants[p, C] * KEps[p] ) S_C
+
+    u:       (nx, ny, nz, dof) coarse nodal field
+    octants: (8, ex, ey, ez) per-element octant weights (child densities
+             or octant-averaged descendants)
+    KEps:    (8, 8*dof, 8*dof) constant octant matrices
+             (galerkin_octant_matrices)
+    """
+    ue = gather_element_dofs(u)
+    z = jnp.einsum(
+        "...i,pij->p...j",
+        ue,
+        KEps,
+        preferred_element_type=u.dtype,
+        precision=precision,
+    )
+    fe = jnp.einsum("p...,p...j->...j", octants, z)
+    nn = (u.shape[0], u.shape[1], u.shape[2])
+    return scatter_element_dofs(fe, nn)
+
+
+def hex_operator_diagonal_octant(
+    octants: jax.Array, KEps: jax.Array, nn: tuple[int, int, int]
+) -> jax.Array:
+    """diag(K) for the octant-Galerkin operator."""
+    dof = KEps.shape[1] // 8
+    ke_diag = jnp.stack(
+        [jnp.diagonal(KEps[p]).reshape(8, dof) for p in range(8)]
+    )  # (p, corner, dof)
+    ex, ey, ez = octants.shape[1:]
+    out = jnp.zeros((nn[0], nn[1], nn[2], dof), dtype=octants.dtype)
+    for c, (ox, oy, oz) in enumerate(CORNER_OFFSETS):
+        contrib = jnp.einsum(
+            "p...,pd->...d", octants, ke_diag[:, c, :]
+        )
+        out = out.at[ox : ox + ex, oy : oy + ey, oz : oz + ez].add(contrib)
+    return out
+
+
+def _shift_nodal(u: jax.Array, d: tuple[int, int, int]) -> jax.Array:
+    """v[n] = u[n + d] with zero padding, d in {-1,0,1}^3."""
+    pads = []
+    slices = []
+    for a in range(3):
+        if d[a] == 1:
+            slices.append(slice(1, None))
+            pads.append((0, 1))
+        elif d[a] == -1:
+            slices.append(slice(0, -1))
+            pads.append((1, 0))
+        else:
+            slices.append(slice(None))
+            pads.append((0, 0))
+    v = u[tuple(slices)]
+    return jnp.pad(v, pads + [(0, 0)] * (u.ndim - 3))
+
+
+def _corner_pad_elem(E: jax.Array, corner: int) -> jax.Array:
+    """Element field placed on the node grid at a hex corner:
+    Ea[n] = E[n - offset_a] (zero where no such element)."""
+    off = CORNER_OFFSETS[corner]
+    pads = [(off[a], 1 - off[a]) for a in range(3)]
+    return jnp.pad(E, pads)
+
+
+def apply_hex_operator_stencil(
+    u: jax.Array,
+    scale: jax.Array,
+    KE: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Node-centric 27-point block-stencil form of `apply_hex_operator`.
+
+    out[n] = sum_d W_d(n) @ u[n+d], with the 3x3 (or 1x1) blocks
+    W_d(n) = sum_{(a,b): off_b - off_a = d} scale(n - off_a) KE[a-block, b-block]
+    built on the fly from the element scale — a gather-only formulation
+    (no scatter, no (nelem, 24) intermediates), which is the TPU-friendly
+    shape: 27 shifted elementwise fused multiply-adds over full nodal
+    arrays (SURVEY §7.1 'node-centric 27-point block stencil').
+
+    Equivalent to `apply_hex_operator` to rounding.
+    """
+    dof = u.shape[-1]
+    KEb = KE.reshape(8, dof, 8, dof).transpose(0, 2, 1, 3)  # (a,b,i,j)
+    Ea = [_corner_pad_elem(scale, a) for a in range(8)]
+
+    # group (a, b) pairs by node offset d = off_b - off_a
+    groups: dict = {}
+    for a, oa in enumerate(CORNER_OFFSETS):
+        for b, ob in enumerate(CORNER_OFFSETS):
+            d = (ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+            groups.setdefault(d, []).append((a, b))
+
+    out = jnp.zeros_like(u)
+    for d, pairs in groups.items():
+        us = _shift_nodal(u, d)  # (nx, ny, nz, dof)
+        # W_d: (nx, ny, nz, dof, dof), built from <=8 scale pads
+        W = None
+        for a, b in pairs:
+            term = Ea[a][..., None, None] * KEb[a, b]
+            W = term if W is None else W + term
+        out = out + jnp.einsum(
+            "...ij,...j->...i",
+            W,
+            us,
+            preferred_element_type=u.dtype,
+            precision=precision,
+        )
+    return out
+
+
+def hex_operator_diagonal_stencil(
+    scale: jax.Array, KE: jax.Array, nn: tuple[int, int, int]
+) -> jax.Array:
+    """diag(K) via corner pads (same math as hex_operator_diagonal)."""
+    dof = KE.shape[0] // 8
+    ke_diag = jnp.diagonal(KE).reshape(8, dof)
+    out = None
+    for a in range(8):
+        term = _corner_pad_elem(scale, a)[..., None] * ke_diag[a]
+        out = term if out is None else out + term
+    return out
 
 
 def assemble_dense(

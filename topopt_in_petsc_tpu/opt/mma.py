@@ -68,6 +68,9 @@ class MMA:
         constraint_modification: bool = False,
         precise_dots: bool = True,
         max_outer_levels: int = 32,
+        reduce_sum=None,
+        reduce_max=None,
+        reduce_matrix=None,
     ):
         self.n = n
         self.m = m
@@ -90,6 +93,11 @@ class MMA:
         self.constraint_modification = constraint_modification
         self.precise = precise_dots
         self.max_outer_levels = max_outer_levels
+        # Reduction hooks: the SPMD engine passes psum-completing versions
+        # (the reference's MPI_Allreduce sites, MMA.cc:626, 764, 834, 925).
+        self._sum = reduce_sum or (lambda v: _rsum(v, self.precise))
+        self._maxr = reduce_max or jnp.max
+        self._matsum = reduce_matrix or (lambda H: H)
 
         z = jnp.zeros(shape, dtype=dtype)
         self.state = MMAState(L=z, U=z, xo1=z, xo2=z, k=0)
@@ -160,7 +168,7 @@ class MMA:
         return float(ch), x
 
     def _design_change_impl(self, x, xold):
-        return jnp.max(jnp.abs(x - xold))
+        return self._maxr(jnp.abs(x - xold))
 
     def update(self, x, dfdx, gx, dgdx, xmin, xmax):
         """Update (MMA.cc:499-518): generate + solve subproblem, advance
@@ -237,7 +245,7 @@ class MMA:
 
         b = jnp.stack(
             [
-                _rsum(pij[j] / (U - x) + qij[j] / (x - L), self.precise)
+                self._sum(pij[j] / (U - x) + qij[j] / (x - L))
                 for j in range(self.m)
             ]
         ).astype(dt) - gx
@@ -267,7 +275,7 @@ class MMA:
         L, U, alpha, beta, p0, q0, pij, qij, b = sub
         g = jnp.stack(
             [
-                _rsum(pij[j] / (U - x) + qij[j] / (x - L), self.precise)
+                self._sum(pij[j] / (U - x) + qij[j] / (x - L))
                 for j in range(self.m)
             ]
         ).astype(self.dtype)
@@ -292,7 +300,9 @@ class MMA:
         w = (PQf * df2.reshape(1, -1)).astype(
             jnp.float64 if self.precise else self.dtype
         )
-        Hess = (w @ PQf.astype(w.dtype).T).astype(self.dtype)
+        Hess = self._matsum(
+            (w @ PQf.astype(w.dtype).T).astype(self.dtype)
+        )
 
         lamai = jnp.sum(lam * self.a)
         diag_corr = jnp.where(lam > self.c, -1.0, 0.0) - mu / jnp.maximum(
@@ -314,7 +324,7 @@ class MMA:
         L, U, alpha, beta, p0, q0, pij, qij, b = sub
         res1 = jnp.stack(
             [
-                _rsum(pij[j] / (U - x) + qij[j] / (x - L), self.precise)
+                self._sum(pij[j] / (U - x) + qij[j] / (x - L))
                 for j in range(self.m)
             ]
         ).astype(self.dtype)
@@ -412,13 +422,15 @@ class MMA:
             r1 = mu_min * (x - xmin)
             r2 = mu_max * (xmax - x)
             n2 = (
-                _rsum(ri**2, self.precise)
-                + _rsum(r1**2, self.precise)
-                + _rsum(r2**2, self.precise)
+                self._sum(ri**2)
+                + self._sum(r1**2)
+                + self._sum(r2**2)
             )
             ninf = jnp.maximum(
-                jnp.max(jnp.abs(ri)),
-                jnp.maximum(jnp.max(jnp.abs(r1)), jnp.max(jnp.abs(r2))),
+                self._maxr(jnp.abs(ri)),
+                jnp.maximum(
+                    self._maxr(jnp.abs(r1)), self._maxr(jnp.abs(r2))
+                ),
             )
             rlam = jnp.sum(lam * (self.a * z + y - gxv))
             n2 = jnp.sqrt(n2 + rlam**2)

@@ -1,0 +1,341 @@
+"""SPMD elasticity solve + fully-fused SPMD optimization step.
+
+Wraps the halo engine (parallel.spmd) into user-facing entry points that
+take *blocked* global arrays (leading device axes, see parallel.decomp)
+and run the whole computation inside one `shard_map` region over the
+('x','y','z') mesh:
+
+  - `SpmdElasticity`: state solve + objective/constraints/sensitivities
+    (the reference's ComputeObjectiveConstraintsSensitivities,
+    LinearElasticity.cc:363-445, distributed),
+  - `make_spmd_fused_step`: physics + density filter + MMA in a single
+    SPMD program (one optimization iteration of main.cc:54-123).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from topopt_in_petsc_tpu.config import TopOptConfig
+from topopt_in_petsc_tpu.grid import Grid
+from topopt_in_petsc_tpu.models.elasticity import build_cantilever_bc
+from topopt_in_petsc_tpu.models.elements import hex8_stiffness
+from topopt_in_petsc_tpu.ops.hex_operator import element_quadratic_form
+from topopt_in_petsc_tpu.opt.filters import (
+    build_filter_kernel,
+    filter_stencil_halfwidth,
+)
+from topopt_in_petsc_tpu.opt.mma import MMA
+from topopt_in_petsc_tpu.parallel.decomp import BlockDecomp
+from topopt_in_petsc_tpu.parallel.mesh import make_device_mesh
+from topopt_in_petsc_tpu.parallel.spmd import (
+    AXIS_NAMES,
+    SpmdMultigrid,
+    ghost_fill_elem,
+    halo_accumulate,
+    make_psum_dot,
+    peel,
+    pmax_scalar,
+    psum_scalar,
+    unpeel,
+)
+from topopt_in_petsc_tpu.solvers.cg import pcg
+
+BLK = P(*AXIS_NAMES)  # blocked arrays: leading device axes split
+REP = P()  # replicated scalars/vectors
+
+
+def _spec_like(tree, spec):
+    return jax.tree_util.tree_map(lambda _: spec, tree)
+
+
+class SpmdElasticity:
+    """Distributed cantilever elasticity on an (mx,my,mz) device mesh."""
+
+    def __init__(self, cfg: TopOptConfig, mesh: Mesh | None = None):
+        cfg.validate()
+        self.cfg = cfg
+        self.grid = Grid.from_config(cfg)
+        self.mesh_shape = tuple(cfg.mesh_shape)
+        self.mesh = mesh or make_device_mesh(self.mesh_shape)
+        self.decomp = BlockDecomp(self.grid, self.mesh_shape, cfg.nlvls)
+        self.dtype = cfg.jnp_dtype
+        np_dt = np.float64 if cfg.dtype == "float64" else np.float32
+
+        grids = self.grid.hierarchy(cfg.nlvls)
+        KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+        self.mg = SpmdMultigrid(
+            self.decomp,
+            KEs,
+            dof=3,
+            dtype=self.dtype,
+            smooth_sweeps=cfg.smooth_sweeps,
+            cheby_lower=cfg.cheby_lower,
+            cheby_upper=cfg.cheby_upper,
+            cheby_ev_iters=cfg.cheby_ev_iters,
+            coarse_rtol=cfg.coarse_rtol,
+            coarse_maxit=cfg.coarse_maxit,
+            precise_dots=cfg.precise_dots,
+            coarse_op=cfg.coarse_op,
+        )
+
+        N_np, RHS_np = build_cantilever_bc(self.grid, dtype=np_dt)
+        masks = []
+        mcur = N_np
+        for l in range(cfg.nlvls):
+            masks.append(mcur)
+            mcur = mcur[::2, ::2, ::2]
+        env_np = self.mg.build_static_env(masks)
+        self.rhs_blk = self._put_blk(
+            self.decomp.to_blocked_nodal(RHS_np).astype(np_dt)
+        )
+        self.env_blk = jax.tree_util.tree_map(
+            self._put_blk, env_np
+        )
+        self.KE_fine = jnp.asarray(KEs[0], self.dtype)
+
+        self._solve_sm = self._build_solve()
+
+    def _put_blk(self, arr):
+        return jax.device_put(arr, NamedSharding(self.mesh, BLK))
+
+    # -- blocked-layout helpers (host side) ---------------------------- #
+
+    def blocked_elem(self, arr):
+        return self._put_blk(
+            self.decomp.to_blocked_elem(np.asarray(arr))
+        )
+
+    def blocked_nodal(self, arr):
+        return self._put_blk(
+            self.decomp.to_blocked_nodal(np.asarray(arr))
+        )
+
+    def zeros_nodal_blk(self):
+        mx, my, mz = self.mesh_shape
+        nxl, nyl, nzl = self.decomp.local_nn(0)
+        return self._put_blk(
+            np.zeros((mx, my, mz, nxl, nyl, nzl, 3),
+                     np.float64 if self.cfg.dtype == "float64"
+                     else np.float32)
+        )
+
+    def simp(self, x):
+        cfg = self.cfg
+        return cfg.Emin + x**cfg.penal * (cfg.Emax - cfg.Emin)
+
+    # -- the shard_mapped physics step --------------------------------- #
+
+    def _physics_local(self, x, u0, rhs, env):
+        """Runs INSIDE shard_map on local blocks."""
+        cfg = self.cfg
+        E = self.simp(x.astype(self.dtype))
+        env = self.mg.setup(env, E)
+        A = partial(self.mg.apply, 0, env)
+        M = lambda r: self.mg.vcycle(env, r)
+        dot = make_psum_dot(env[0]["w"], self.cfg.precise_dots)
+        res = pcg(
+            A, rhs, u0, M,
+            rtol=cfg.ksp_rtol, maxiter=cfg.ksp_maxit,
+            flexible=True, dot=dot,
+        )
+        u = res.x
+
+        # objective / constraints / sensitivities
+        uKu = element_quadratic_form(u, self.KE_fine)
+        acc = jnp.float64 if cfg.precise_dots else self.dtype
+        fx = psum_scalar(jnp.sum((E * uKu).astype(acc))).astype(self.dtype)
+        nelem = self.grid.nelem
+        vol = psum_scalar(jnp.sum(x.astype(acc))) / nelem
+        gx0 = (vol - cfg.volfrac).astype(self.dtype)
+        dfdx = (
+            -cfg.penal * x ** (cfg.penal - 1.0) * (cfg.Emax - cfg.Emin)
+        ) * uKu
+        gx = jnp.concatenate(
+            [gx0[None], jnp.zeros((cfg.m - 1,), self.dtype)]
+        )
+        dgdx = jnp.full((cfg.m, *x.shape), 1.0 / nelem, self.dtype)
+        return u, res.iters, res.relres, fx, gx, dfdx, dgdx
+
+    def _build_solve(self):
+        env_spec = _spec_like(self.env_blk, BLK)
+
+        @partial(
+            shard_map,
+            mesh=self.mesh,
+            in_specs=(BLK, BLK, BLK, env_spec),
+            out_specs=(BLK, REP, REP, REP, REP, BLK, BLK),
+            check_vma=False,
+        )
+        def run(x_blk, u0_blk, rhs_blk, env_blk):
+            x = peel(x_blk)
+            u0 = peel(u0_blk)
+            rhs = peel(rhs_blk)
+            env = jax.tree_util.tree_map(peel, env_blk)
+            # offsets arrive as (3,) vectors after peel
+            u, iters, relres, fx, gx, dfdx, dgdx = self._physics_local(
+                x, u0, rhs, env
+            )
+            return (
+                unpeel(u), iters, relres, fx, gx, unpeel(dfdx),
+                unpeel(dgdx),
+            )
+
+        return jax.jit(run)
+
+    def compute_objective_constraints_sensitivities(self, x_blk, u0_blk):
+        """Blocked-layout physics step; returns
+        (u_blk, iters, relres, fx, gx, dfdx_blk, dgdx_blk)."""
+        return self._solve_sm(x_blk, u0_blk, self.rhs_blk, self.env_blk)
+
+
+class SpmdOptState(NamedTuple):
+    x: jax.Array
+    xTilde: jax.Array
+    xPhys: jax.Array
+    u: jax.Array
+    L: jax.Array
+    U: jax.Array
+    xo1: jax.Array
+    xo2: jax.Array
+    fscale: jax.Array
+    fx: jax.Array
+    gx: jax.Array
+    ch: jax.Array
+    solver_iters: jax.Array
+
+
+def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
+    """One full optimization iteration as a single SPMD program.
+
+    Returns (step_fn, init_state, engine).  All design-shaped state is in
+    blocked element layout; u in blocked nodal layout.
+    """
+    engine = SpmdElasticity(cfg, mesh)
+    decomp = engine.decomp
+    dt = engine.dtype
+    mesh = engine.mesh
+    mesh_shape = engine.mesh_shape
+
+    # density filter: kernel + SPMD Hs (ghost-filled conv of ones)
+    s = filter_stencil_halfwidth(cfg.rmin, engine.grid.h, engine.grid.nn)
+    exl = decomp.local_ne(0)
+    if any(s > e for e in exl):
+        raise ValueError(
+            f"filter stencil halfwidth {s} exceeds local block {exl}; "
+            "use the PDE filter or a larger block"
+        )
+    kernel = jnp.asarray(
+        build_filter_kernel(cfg.rmin, engine.grid.h, s), dt
+    )
+
+    def conv_local(x):
+        lhs = ghost_fill_elem(x, s, mesh_shape)[None, None]
+        rhs = kernel[None, None]
+        out = lax.conv_general_dilated(
+            lhs, rhs, (1, 1, 1), "VALID",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+        )
+        return out[0, 0]
+
+    mma = MMA(
+        engine.grid.nelem, cfg.m, decomp.local_ne(0), dt,
+        precise_dots=cfg.precise_dots,
+        reduce_sum=lambda v: psum_scalar(
+            jnp.sum(v.astype(jnp.float64 if cfg.precise_dots else dt))
+        ),
+        reduce_max=lambda v: pmax_scalar(jnp.max(v)),
+        reduce_matrix=psum_scalar,
+    )
+
+    env_spec = _spec_like(engine.env_blk, BLK)
+    state_spec = SpmdOptState(
+        x=BLK, xTilde=BLK, xPhys=BLK, u=BLK, L=BLK, U=BLK, xo1=BLK,
+        xo2=BLK, fscale=REP, fx=REP, gx=REP, ch=REP, solver_iters=REP,
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(state_spec, BLK, env_spec),
+        out_specs=state_spec,
+        check_vma=False,
+    )
+    def step(state: SpmdOptState, rhs_blk, env_blk):
+        s_loc = SpmdOptState(
+            *[
+                peel(v) if spec is BLK else v
+                for v, spec in zip(state, state_spec)
+            ]
+        )
+        rhs = peel(rhs_blk)
+        env = jax.tree_util.tree_map(peel, env_blk)
+
+        u, iters, relres, fx, gx, dfdx, dgdx = engine._physics_local(
+            s_loc.xPhys, s_loc.u, rhs, env
+        )
+        dfdx = dfdx * s_loc.fscale
+        Hs = conv_local(jnp.ones_like(s_loc.x))
+        dfdx = conv_local(dfdx / Hs)
+        dgdx = jnp.stack(
+            [conv_local(dgdx[j] / Hs) for j in range(cfg.m)]
+        )
+        xmin, xmax = mma._movelimit_impl(
+            s_loc.x,
+            jnp.asarray(cfg.Xmin, dt),
+            jnp.asarray(cfg.Xmax, dt),
+            jnp.asarray(cfg.movlim, dt),
+        )
+        x_new, L, U, lam, y, z = mma._update_impl(
+            s_loc.x, dfdx, gx, dgdx, xmin, xmax,
+            s_loc.L, s_loc.U, s_loc.xo1, s_loc.xo2,
+            fresh_asymptotes=False,
+        )
+        ch = pmax_scalar(jnp.max(jnp.abs(x_new - s_loc.x)))
+        xTilde = conv_local(x_new) / Hs
+        xPhys = xTilde
+        out = SpmdOptState(
+            x=x_new, xTilde=xTilde, xPhys=xPhys, u=u, L=L, U=U,
+            xo1=s_loc.x, xo2=s_loc.xo1, fscale=s_loc.fscale, fx=fx,
+            gx=gx, ch=ch, solver_iters=iters,
+        )
+        return SpmdOptState(
+            *[
+                unpeel(v) if spec is BLK else v
+                for v, spec in zip(out, state_spec)
+            ]
+        )
+
+    step_jit = jax.jit(
+        lambda st: step(st, engine.rhs_blk, engine.env_blk)
+    )
+
+    # initial state
+    np_dt = np.float64 if cfg.dtype == "float64" else np.float32
+    x0g = np.full(engine.grid.ne, cfg.volfrac, np_dt)
+    span = cfg.Xmax - cfg.Xmin
+    x0 = engine.blocked_elem(x0g)
+    init = SpmdOptState(
+        x=x0,
+        xTilde=x0,
+        xPhys=x0,
+        u=engine.zeros_nodal_blk(),
+        L=engine.blocked_elem(x0g - 0.5 * span),
+        U=engine.blocked_elem(x0g + 0.5 * span),
+        xo1=x0,
+        xo2=x0,
+        fscale=jnp.asarray(1.0, dt),
+        fx=jnp.asarray(0.0, dt),
+        gx=jnp.zeros((cfg.m,), dt),
+        ch=jnp.asarray(1.0, dt),
+        solver_iters=jnp.asarray(0, jnp.int32),
+    )
+    return step_jit, init, engine

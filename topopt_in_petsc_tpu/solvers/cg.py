@@ -51,17 +51,22 @@ def pcg(
     maxiter: int = 200,
     flexible: bool = True,
     precise_dots: bool = True,
+    dot: Callable | None = None,
 ) -> CGResult:
     """Solve A x = b with preconditioned CG, nonzero initial guess.
 
     Matches the reference solver contract (LinearElasticity.cc:619-647):
     rtol 1e-5, maxit 200, initial guess nonzero, convergence on the
     preconditioned... here on the true residual 2-norm vs ||b||.
+
+    `dot`, when given, replaces the inner product (the SPMD engine passes
+    an ownership-weighted psum dot so duplicated halo planes count once).
     """
     if M is None:
         M = lambda r: r
 
-    dot = partial(_dot, precise=precise_dots)
+    if dot is None:
+        dot = partial(_dot, precise=precise_dots)
 
     r = b - A(x0)
     z = M(r)

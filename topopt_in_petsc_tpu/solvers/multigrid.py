@@ -36,12 +36,16 @@ import numpy as np
 
 from topopt_in_petsc_tpu.ops.hex_operator import (
     apply_hex_operator,
+    apply_hex_operator_octant,
     hex_operator_diagonal,
+    hex_operator_diagonal_octant,
+    octant_split,
 )
+from topopt_in_petsc_tpu.models.elements import galerkin_octant_matrices
 from topopt_in_petsc_tpu.solvers.cg import pcg
 from topopt_in_petsc_tpu.solvers.chebyshev import (
     chebyshev_smooth,
-    estimate_lambda_max,
+    gershgorin_lambda_max,
 )
 
 
@@ -135,18 +139,36 @@ class GeometricMultigrid:
         *,
         dtype=jnp.float32,
         smooth_sweeps: int = 4,
-        cheby_lower: float = 0.1,
+        cheby_lower: float = 0.06,
         cheby_upper: float = 1.1,
         cheby_ev_iters: int = 12,
         coarse_rtol: float = 1e-8,
         coarse_maxit: int = 30,
         precise_dots: bool = True,
+        coarse_op: str = "rediscretize",
     ):
         self.grids = tuple(grids)
         self.nlvls = len(self.grids)
         self.dof = dof
         self.dtype = dtype
         self.KEs = [jnp.asarray(ke, dtype=dtype) for ke in KEs]
+        # Galerkin octant matrices: level l's element operator is the
+        # projection of level l-1's (sum_p w_p T_p^T KE_{l-1} T_p) —
+        # exact Galerkin at level 1, octant-averaged deeper (replaces the
+        # reference's RAP, LinearElasticity.cc:702; plain 8-child scalar
+        # averaging loses the sub-element stiffness distribution and
+        # stalls at high SIMP contrast).
+        self.coarse_op = coarse_op
+        if coarse_op == "galerkin_octant":
+            self.KEps = [None] + [
+                jnp.asarray(
+                    galerkin_octant_matrices(np.asarray(KEs[l - 1]), dof),
+                    dtype=dtype,
+                )
+                for l in range(1, self.nlvls)
+            ]
+        else:
+            self.KEps = [None] * self.nlvls
         if masks is None:
             self.masks = None
         else:
@@ -161,43 +183,68 @@ class GeometricMultigrid:
 
     # -- per-level masked operator ------------------------------------ #
 
-    def apply(self, level: int, scale: jax.Array, v: jax.Array) -> jax.Array:
+    def _raw_apply(self, level: int, coef: jax.Array, v: jax.Array):
+        if level == 0 or self.coarse_op != "galerkin_octant":
+            return apply_hex_operator(v, coef, self.KEs[level])
+        return apply_hex_operator_octant(v, coef, self.KEps[level])
+
+    def _raw_diag(self, level: int, coef: jax.Array, nn):
+        if level == 0 or self.coarse_op != "galerkin_octant":
+            return hex_operator_diagonal(coef, self.KEs[level], nn)
+        return hex_operator_diagonal_octant(coef, self.KEps[level], nn)
+
+    def _raw_absrowsum(self, level: int, coef: jax.Array, ones):
+        if level == 0 or self.coarse_op != "galerkin_octant":
+            return apply_hex_operator(
+                ones, coef, jnp.abs(self.KEs[level])
+            )
+        return apply_hex_operator_octant(
+            ones, coef, jnp.abs(self.KEps[level])
+        )
+
+    def apply(self, level: int, coef: jax.Array, v: jax.Array) -> jax.Array:
         """A_l v = N (K_l (N v)) + (I - N) v   (LinearElasticity.cc:530-538,
         applied matrix-free at every level)."""
         if self.masks is None:
-            return apply_hex_operator(v, scale, self.KEs[level])
+            return self._raw_apply(level, coef, v)
         N = self.masks[level]
-        Kv = apply_hex_operator(N * v, scale, self.KEs[level])
+        Kv = self._raw_apply(level, coef, N * v)
         return N * Kv + (1.0 - N) * v
-
-    def _masked_diag(self, level: int, scale: jax.Array) -> jax.Array:
-        nn = self.grids[level].nn
-        d = hex_operator_diagonal(scale, self.KEs[level], nn)
-        if self.masks is not None:
-            N = self.masks[level]
-            d = N * d + (1.0 - N)
-        return d
 
     # -- setup (traced; called once per outer iteration) -------------- #
 
+    def _level_coefs(self, scale_fine: jax.Array) -> List[jax.Array]:
+        """Per-level operator coefficients from the fine element scale:
+        level 0 the scale itself; deeper levels (galerkin_octant) the
+        octant split of the previous level's scale; (rediscretize) the
+        8-child average."""
+        Es = [scale_fine.astype(self.dtype)]
+        for l in range(1, self.nlvls):
+            Es.append(coarsen_cell_field(Es[-1]))
+        if self.coarse_op != "galerkin_octant":
+            return Es
+        return [Es[0]] + [octant_split(Es[l - 1])
+                          for l in range(1, self.nlvls)]
+
     def setup(self, scale_fine: jax.Array) -> List[dict]:
-        """Build per-level {scale, dinv, lmax} from the fine element scale."""
+        """Build per-level {coef, dinv, lmax} from the fine element scale.
+
+        lmax uses the certain Gershgorin-style bound (one |KE| matvec of
+        ones) — power iteration can underestimate at high SIMP contrast,
+        which makes Chebyshev divergent in f32 (SURVEY hard-part #3).
+        """
         levels = []
-        scale = scale_fine.astype(self.dtype)
-        for l in range(self.nlvls):
-            dinv = 1.0 / self._masked_diag(l, scale)
-            A = lambda v, l=l, s=scale: self.apply(l, s, v)
+        for l, coef in enumerate(self._level_coefs(scale_fine)):
             nn = self.grids[l].nn
-            lmax = estimate_lambda_max(
-                A,
-                dinv,
-                (nn[0], nn[1], nn[2], self.dof),
-                self.dtype,
-                iters=self.cheby_ev_iters,
-            )
-            levels.append({"scale": scale, "dinv": dinv, "lmax": lmax})
-            if l + 1 < self.nlvls:
-                scale = coarsen_cell_field(scale)
+            d = self._raw_diag(l, coef, nn)
+            if self.masks is not None:
+                N = self.masks[l]
+                d = N * d + (1.0 - N)
+            ones = jnp.ones((nn[0], nn[1], nn[2], self.dof), self.dtype)
+            R = self._raw_absrowsum(l, coef, ones)
+            mask = None if self.masks is None else self.masks[l]
+            lmax = gershgorin_lambda_max(R, d, mask)
+            levels.append({"coef": coef, "dinv": 1.0 / d, "lmax": lmax})
         return levels
 
     # -- V-cycle ------------------------------------------------------ #
@@ -208,8 +255,7 @@ class GeometricMultigrid:
     def vcycle(self, levels: List[dict], b: jax.Array, level: int = 0):
         """One multiplicative V(s,s) cycle; returns z ~= A^-1 b."""
         lvl = levels[level]
-        scale = lvl["scale"]
-        A = lambda v: self.apply(level, scale, v)
+        A = lambda v: self.apply(level, lvl["coef"], v)
 
         if level == self.nlvls - 1:
             res = pcg(
