@@ -90,6 +90,7 @@ class TopOptConfig:
     precise_dots: bool = True  # upcast CG/objective reductions to f64
     mesh_shape: tuple = (1, 1, 1)  # device mesh (x, y, z); product = #devices
     output_cadence_vtu: bool = True  # write .vtu fields like main.cc:114-116
+    output_dat: bool = False  # also write the reference-format output_00000.dat
 
     # ----------------------------------------------------------------- #
 
@@ -159,7 +160,7 @@ class TopOptConfig:
                   "ksp_maxit", "smooth_sweeps", "pde_nlvls", "pde_maxit",
                   "coarse_maxit", "cheby_ev_iters")
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
-                   "precise_dots", "output_cadence_vtu")
+                   "precise_dots", "output_cadence_vtu", "output_dat")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
                   "workdir", "dtype", "coarse_op")
 

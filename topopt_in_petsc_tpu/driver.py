@@ -50,6 +50,13 @@ class Driver:
         # STEP 4: output (main.cc:40)
         os.makedirs(cfg.workdir, exist_ok=True)
         self.restart_mgr = RestartManager(cfg.workdir, enabled=cfg.restart)
+        self.dat = None
+        if cfg.output_dat:
+            from topopt_in_petsc_tpu.io.mpiio_dat import MPIIODat
+
+            self.dat = MPIIODat(
+                os.path.join(cfg.workdir, "output_00000.dat"), self.grid
+            )
 
         dt = cfg.jnp_dtype
         self.x = jnp.full(self.grid.ne, cfg.volfrac, dtype=dt)
@@ -98,6 +105,16 @@ class Driver:
     # -------------------------------------------------------------- #
 
     def _write_vtu(self, itr: int):
+        if self.dat is not None:
+            import numpy as _np
+
+            u = _np.asarray(self.u)
+            self.dat.write_fields(
+                itr,
+                [u[..., 0], u[..., 1], u[..., 2]],
+                [_np.asarray(self.x), _np.asarray(self.xTilde),
+                 _np.asarray(self.xPhys)],
+            )
         if not self.cfg.output_cadence_vtu:
             return
         path = os.path.join(self.cfg.workdir, f"output_{itr:05d}.vtu")

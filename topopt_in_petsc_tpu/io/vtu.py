@@ -20,11 +20,16 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from topopt_in_petsc_tpu.io import native as _native
+
 
 def _b64_block(raw: bytes) -> bytes:
-    """VTK 'binary' format: base64(UInt64 length) + base64(payload)."""
+    """VTK 'binary' format: base64(UInt64 length) + base64(payload).
+
+    Uses the native C++ encoder (io.native) when available — the encode is
+    the host-side hot path for giga-voxel dumps."""
     header = struct.pack("<Q", len(raw))
-    return base64.b64encode(header) + base64.b64encode(raw)
+    return base64.b64encode(header) + _native.b64_encode(raw)
 
 
 def _data_array(
