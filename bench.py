@@ -93,11 +93,11 @@ def bench_spmv(nelem_axis: int) -> float:
     )
 
     @jax.jit
-    def A(v):
+    def A(v, E, N):
         Kv = apply_hex_operator(N * v, E, KE)
         return N * Kv + (1.0 - N) * v
 
-    dt = _time_fn(A, u)
+    dt = _time_fn(A, u, E, N)
     return dt, grid
 
 

@@ -56,12 +56,12 @@ def test_sharded_physics_step_matches():
     x = jnp.asarray(rng.uniform(0.3, 0.9, size=phys.grid.ne))
     u0 = jnp.zeros((*phys.grid.nn, 3))
 
-    ref = phys._step(x, u0)
+    ref = phys.compute_objective_constraints_sensitivities(x, u0)
 
     mesh = make_device_mesh((2, 2, 2))
     xs = jax.device_put(x, elem_sharding(mesh))
     us = jax.device_put(u0, node_sharding(mesh))
-    res = phys._step(xs, us)
+    res = phys.compute_objective_constraints_sensitivities(xs, us)
 
     assert int(res.iters) == int(ref.iters)
     np.testing.assert_allclose(float(res.fx), float(ref.fx), rtol=1e-10)

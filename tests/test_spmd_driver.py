@@ -1,0 +1,62 @@
+"""SPMD driver: mini cantilever over a (2,2,2) CPU device mesh, compared
+against the single-device Driver trajectory."""
+
+import jax
+import numpy as np
+import pytest
+
+from topopt_in_petsc_tpu.config import TopOptConfig
+from topopt_in_petsc_tpu.driver import Driver, run_topopt
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_spmd_driver_matches_single_device(tmp_path):
+    common = dict(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=4,
+        dtype="float64", output_cadence_vtu=False, restart=False,
+    )
+    cfg1 = TopOptConfig(workdir=str(tmp_path / "a"), **common)
+    cfg1.validate()
+    h1 = Driver(cfg1).run()
+
+    cfg2 = TopOptConfig(
+        workdir=str(tmp_path / "b"), mesh_shape=(2, 2, 2), **common
+    )
+    cfg2.validate()
+    h2 = run_topopt(cfg2)
+
+    assert len(h2["fx"]) == len(h1["fx"])
+    # same math (f64): trajectories should agree closely
+    np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
+    np.testing.assert_allclose(h2["gx"], h1["gx"], atol=1e-7)
+    np.testing.assert_allclose(h2["ch"], h1["ch"], atol=1e-6)
+
+
+def test_spmd_driver_restart(tmp_path):
+    cfg = TopOptConfig(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=10,
+        dtype="float64", workdir=str(tmp_path),
+        mesh_shape=(2, 2, 2), output_cadence_vtu=False,
+    )
+    cfg.validate()
+    from topopt_in_petsc_tpu.parallel.spmd_driver import SpmdDriver
+
+    d = SpmdDriver(cfg)
+    d.run()
+    latest = d.restart_mgr.latest()
+    assert latest is not None
+
+    cfg2 = TopOptConfig(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=12,
+        dtype="float64", workdir=str(tmp_path),
+        mesh_shape=(2, 2, 2), output_cadence_vtu=False,
+        restartFileVec=latest,
+    )
+    cfg2.validate()
+    d2 = SpmdDriver(cfg2)
+    assert d2.itr == 10
+    h = d2.run()
+    assert len(h["fx"]) <= 2

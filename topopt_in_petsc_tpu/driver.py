@@ -229,4 +229,8 @@ class Driver:
 
 
 def run_topopt(cfg: TopOptConfig, max_iters: Optional[int] = None) -> dict:
+    if tuple(cfg.mesh_shape) != (1, 1, 1):
+        from topopt_in_petsc_tpu.parallel.spmd_driver import SpmdDriver
+
+        return SpmdDriver(cfg).run(max_iters)
     return Driver(cfg).run(max_iters)

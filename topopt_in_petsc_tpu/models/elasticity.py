@@ -125,15 +125,18 @@ class LinearElasticity:
 
     # -- state solve --------------------------------------------------- #
 
-    def _solve_impl(self, xPhys, u0):
+    def _solve_impl(self, xPhys, u0, rhs, masks):
+        # rhs/masks arrive as jit ARGUMENTS: closing over them would bake
+        # (nx,ny,nz,3)-sized constants into the XLA program (hundreds of
+        # MB at 256^3+, which breaks compilation).
         cfg = self.cfg
         E = self.simp(xPhys.astype(self.dtype))
-        levels = self.mg.setup(E)
-        A = lambda v: self.mg.apply(0, E, v)
+        levels = self.mg.setup(E, masks)
+        A = lambda v: self.mg.apply(0, E, v, masks)
         M = self.mg.preconditioner(levels)
         res = pcg(
             A,
-            self.RHS,
+            rhs,
             u0,
             M,
             rtol=cfg.ksp_rtol,
@@ -148,7 +151,7 @@ class LinearElasticity:
         element scale), rebuild the MG setup, solve with warm start."""
         if u0 is None:
             u0 = jnp.zeros_like(self.RHS)
-        return self._solve(xPhys, u0)
+        return self._solve(xPhys, u0, self.RHS, self.mg.mask_args())
 
     # -- objective / constraints / sensitivities ----------------------- #
 
@@ -174,8 +177,8 @@ class LinearElasticity:
         )
         return fx.astype(self.dtype), gx, dfdx, dgdx
 
-    def _step_impl(self, xPhys, u0) -> PhysicsResult:
-        res = self._solve_impl(xPhys, u0)
+    def _step_impl(self, xPhys, u0, rhs, masks) -> PhysicsResult:
+        res = self._solve_impl(xPhys, u0, rhs, masks)
         fx, gx, dfdx, dgdx = self._objective_parts(
             xPhys.astype(self.dtype), res.x
         )
@@ -196,7 +199,7 @@ class LinearElasticity:
         (LinearElasticity.cc:363-445) as one fused jitted step."""
         if u0 is None:
             u0 = jnp.zeros_like(self.RHS)
-        return self._step(xPhys, u0)
+        return self._step(xPhys, u0, self.RHS, self.mg.mask_args())
 
     def compute_objective_constraints(self, xPhys, u0=None):
         """Split variant (LinearElasticity.cc:225-297)."""

@@ -114,9 +114,9 @@ class DesignFilter:
 
     # -- FilterProject (Filter.cc:60-117) ------------------------------- #
 
-    def _project_impl(self, x, beta, eta, *, projection: bool):
+    def _project_impl(self, x, beta, eta, Hs=None, *, projection: bool):
         if self.filterType == 1:
-            xTilde = self._conv(x) / self.Hs
+            xTilde = self._conv(x) / Hs
         elif self.filterType == 2:
             xTilde, _ = self.pdef._project_core(x)
             xTilde = jnp.clip(xTilde, 0.0, 1.0)
@@ -144,13 +144,14 @@ class DesignFilter:
             x.astype(self.dtype),
             jnp.asarray(beta, self.dtype),
             jnp.asarray(eta, self.dtype),
+            self.Hs,
             projection=bool(projection),
         )
 
     # -- Gradients (Filter.cc:120-204) ---------------------------------- #
 
-    def _gradients_impl(self, x, xTilde, dfdx, dgdx, beta, eta, *,
-                        projection: bool):
+    def _gradients_impl(self, x, xTilde, dfdx, dgdx, beta, eta, Hs=None,
+                        *, projection: bool):
         if projection:
             dproj = smooth_projection_chainrule(xTilde, beta, eta)
             dfdx = dfdx * dproj
@@ -158,11 +159,11 @@ class DesignFilter:
         if self.filterType == 0:
             # sensitivity filter: dfdx <- (H (dfdx o x)) / Hs / x
             # (Filter.cc:167-177; x floored at Xmin=0.001, TopOpt.cc:357)
-            dfdx = self._conv(dfdx * x) / self.Hs / x
+            dfdx = self._conv(dfdx * x) / Hs / x
         elif self.filterType == 1:
-            dfdx = self._conv(dfdx / self.Hs)
+            dfdx = self._conv(dfdx / Hs)
             dgdx = jnp.stack(
-                [self._conv(dgdx[j] / self.Hs) for j in range(dgdx.shape[0])]
+                [self._conv(dgdx[j] / Hs) for j in range(dgdx.shape[0])]
             )
         return dfdx, dgdx
 
@@ -185,6 +186,7 @@ class DesignFilter:
             dgdx.astype(self.dtype),
             jnp.asarray(beta, self.dtype),
             jnp.asarray(eta, self.dtype),
+            self.Hs,
             projection=bool(projection),
         )
 

@@ -63,7 +63,7 @@ class PDEFilter:
         )
         # Density-independent operator: one-time MG setup with unit scale.
         ones = jnp.ones(grid.ne, dtype=self.dtype)
-        self._levels = jax.jit(self.mg.setup)(ones)
+        self._levels = jax.jit(lambda e: self.mg.setup(e, None))(ones)
         self._ones = ones
         self.elem_volume = grid.elem_volume
 
@@ -96,11 +96,11 @@ class PDEFilter:
 
     # -- solve ----------------------------------------------------------- #
 
-    def _solve_impl(self, x, u0):
+    def _solve_impl(self, x, u0, levels):
         cfg = self.cfg
         rhs = self._T_apply(x)
-        A = lambda v: self.mg.apply(0, self._ones, v)
-        M = self.mg.preconditioner(self._levels)
+        A = lambda v: self.mg.apply(0, levels[0]["coef"], v)
+        M = self.mg.preconditioner(levels)
         res = pcg(
             A,
             rhs,
@@ -115,12 +115,16 @@ class PDEFilter:
 
     def _project_core(self, x):
         """Traced core (cold start; used when fused into other jits)."""
-        u, xt, _, _ = self._solve_impl(x, jnp.zeros_like(self._u))
+        u, xt, _, _ = self._solve_impl(
+            x, jnp.zeros_like(self._u), self._levels
+        )
         return xt, u
 
     def _project_core_host(self, x):
         """Host-level call keeping the warm-start state."""
-        u, xt, iters, relres = self._jit_solve(x.astype(self.dtype), self._u)
+        u, xt, iters, relres = self._jit_solve(
+            x.astype(self.dtype), self._u, self._levels
+        )
         self._u = u
         return xt, int(iters), float(relres)
 

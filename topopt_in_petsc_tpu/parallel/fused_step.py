@@ -59,11 +59,16 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
     eta = jnp.asarray(cfg.eta, dt)
     projection = bool(cfg.projectionFilter)
 
-    def step(s: OptState) -> OptState:
-        res = physics._step_impl(s.xPhys, s.u)
+    rhs = physics.RHS
+    masks = physics.mg.mask_args()
+
+    # rhs/masks flow as jit arguments (large-array closures become XLA
+    # constants, which breaks compilation at 256^3+)
+    def step(s: OptState, rhs, masks) -> OptState:
+        res = physics._step_impl(s.xPhys, s.u, rhs, masks)
         dfdx = res.dfdx * s.fscale
         dfdx, dgdx = filt._gradients_impl(
-            s.x, s.xTilde, dfdx, res.dgdx, beta, eta,
+            s.x, s.xTilde, dfdx, res.dgdx, beta, eta, filt.Hs,
             projection=projection,
         )
         xmin, xmax = mma._movelimit_impl(
@@ -78,7 +83,7 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         )
         ch = jnp.max(jnp.abs(x_new - s.x))
         xTilde, xPhys = filt._project_impl(
-            x_new, beta, eta, projection=projection
+            x_new, beta, eta, filt.Hs, projection=projection
         )
         return OptState(
             x=x_new, xTilde=xTilde, xPhys=xPhys, u=res.u,
@@ -123,10 +128,16 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
             fscale=rs, fx=rs, gx=rs, ch=rs, solver_iters=rs,
         )
         init = jax.tree_util.tree_map(jax.device_put, init, shardings)
-        step_jit = jax.jit(
-            step, in_shardings=(shardings,), out_shardings=shardings
+        rhs = jax.device_put(rhs, ns)
+        masks = [jax.device_put(m, rs) for m in masks]
+        mask_shardings = [rs for _ in masks]
+        inner = jax.jit(
+            step,
+            in_shardings=(shardings, ns, mask_shardings),
+            out_shardings=shardings,
         )
     else:
-        step_jit = jax.jit(step)
+        inner = jax.jit(step)
 
+    step_jit = lambda s: inner(s, rhs, masks)
     return step_jit, init

@@ -1,0 +1,162 @@
+"""Multi-chip optimization driver over the SPMD halo engine.
+
+Runs the main.cc loop with each iteration as ONE SPMD program over the
+('x','y','z') device mesh (parallel.spmd_model.make_spmd_fused_step):
+the host only advances the loop, logs, and handles VTU/restart cadences
+on gathered global arrays.  Selected by the CLI when -mesh_shape is not
+1,1,1 (driver.run_topopt).
+
+Current scope: density filter (type 1) without Heaviside projection; the
+other filter paths run through the single-device Driver.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from topopt_in_petsc_tpu.config import TopOptConfig
+from topopt_in_petsc_tpu.io.restart import RestartManager
+from topopt_in_petsc_tpu.io.vtu import write_state_vtu
+from topopt_in_petsc_tpu.parallel.spmd_model import (
+    SpmdOptState,
+    make_spmd_fused_step,
+)
+
+
+class SpmdDriver:
+    def __init__(self, cfg: TopOptConfig):
+        cfg.validate()
+        if cfg.filter != 1 or cfg.projectionFilter:
+            raise NotImplementedError(
+                "SPMD driver currently supports the density filter "
+                "(filter=1) without projection; use mesh_shape=(1,1,1) "
+                "for the other paths"
+            )
+        self.cfg = cfg
+        print(cfg.banner())
+        self.step, self.state, self.engine = make_spmd_fused_step(cfg)
+        self.grid = self.engine.grid
+        os.makedirs(cfg.workdir, exist_ok=True)
+        self.restart_mgr = RestartManager(cfg.workdir, enabled=cfg.restart)
+        self.itr = 0
+
+        if cfg.restart and cfg.restartFileVec:
+            data = self.restart_mgr.load(cfg.restartFileVec)
+            if data is not None and not cfg.onlyLoadDesign:
+                e = self.engine
+                self.itr = int(data["itr"])
+                self.state = self.state._replace(
+                    x=e.blocked_elem(data["x"]),
+                    xPhys=e.blocked_elem(data["xPhys"]),
+                    xTilde=e.blocked_elem(data["xPhys"]),
+                    xo1=e.blocked_elem(data["xo1"]),
+                    xo2=e.blocked_elem(data["xo2"]),
+                    U=e.blocked_elem(data["U"]),
+                    L=e.blocked_elem(data["L"]),
+                    fscale=jnp.asarray(
+                        float(data["fscale"]), e.dtype
+                    ),
+                )
+                sol = self.restart_mgr.load_state(cfg.restartFileVecSol)
+                if sol is not None:
+                    self.state = self.state._replace(
+                        u=e.blocked_nodal(sol)
+                    )
+                print(
+                    f"# Continue optimization from file: "
+                    f"{cfg.restartFileVec}"
+                )
+            elif data is not None:
+                self.state = self.state._replace(
+                    x=self.engine.blocked_elem(data["x"])
+                )
+                print(f"# Loading design from file: {cfg.restartFileVec}")
+
+    # ------------------------------------------------------------- #
+
+    def _globals(self):
+        """Gather blocked state to global numpy arrays (IO only)."""
+        d = self.engine.decomp
+        g = lambda blk: d.from_blocked_elem(
+            np.asarray(blk)[..., None]
+        )[..., 0]
+        return {
+            "x": g(self.state.x),
+            "xTilde": g(self.state.xTilde),
+            "xPhys": g(self.state.xPhys),
+            "u": d.from_blocked_nodal(np.asarray(self.state.u)),
+            "xo1": g(self.state.xo1),
+            "xo2": g(self.state.xo2),
+            "U": g(self.state.U),
+            "L": g(self.state.L),
+        }
+
+    def _write_outputs(self, itr, final=False):
+        gl = self._globals()
+        if self.cfg.output_cadence_vtu:
+            path = os.path.join(
+                self.cfg.workdir, f"output_{itr:05d}.vtu"
+            )
+            write_state_vtu(
+                path, self.grid, gl["u"], gl["x"], gl["xTilde"],
+                gl["xPhys"],
+            )
+
+    def _write_restart(self):
+        gl = self._globals()
+        self.restart_mgr.write(
+            self.itr, float(self.state.fscale), gl["x"], gl["xPhys"],
+            gl["xo1"], gl["xo2"], gl["U"], gl["L"], gl["u"],
+        )
+
+    # ------------------------------------------------------------- #
+
+    def run(self, max_iters: Optional[int] = None) -> dict:
+        cfg = self.cfg
+        maxItr = cfg.maxItr if max_iters is None else max_iters
+        history = {"fx": [], "gx": [], "ch": [], "mnd": [], "iters": [],
+                   "time": []}
+        ch = 1.0
+        while self.itr < maxItr and ch > 0.01:
+            self.itr += 1
+            t1 = time.perf_counter()
+            self.state = self.step(self.state, self.itr)
+            jax.block_until_ready(self.state.x)
+            t2 = time.perf_counter()
+
+            s = self.state
+            fx = float(s.fx)
+            fscale = float(s.fscale)
+            ch = float(s.ch)
+            mnd = float(s.mnd)
+            gx0 = float(s.gx[0])
+            print(
+                f"State solver:  iter: {int(s.solver_iters)}, "
+                f"rerr.: {float(s.solver_relres):e}, time: {t2 - t1:f}"
+            )
+            print(
+                f"It.: {self.itr}, True fx: {fx:f}, "
+                f"Scaled fx: {fx * fscale:f}, gx[0]: {gx0:f}, "
+                f"ch.: {ch:f}, mnd.: {mnd:f}, time: {t2 - t1:f}"
+            )
+            history["fx"].append(fx)
+            history["gx"].append(gx0)
+            history["ch"].append(ch)
+            history["mnd"].append(mnd)
+            history["iters"].append(int(s.solver_iters))
+            history["time"].append(t2 - t1)
+
+            if self.itr < 11 or self.itr % 20 == 0:
+                self._write_outputs(self.itr)
+            if self.itr % 10 == 0:
+                self._write_restart()
+
+        self._write_restart()
+        self._write_outputs(self.itr + 1, final=True)
+        return history

@@ -210,7 +210,9 @@ class SpmdOptState(NamedTuple):
     fx: jax.Array
     gx: jax.Array
     ch: jax.Array
+    mnd: jax.Array
     solver_iters: jax.Array
+    solver_relres: jax.Array
 
 
 def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
@@ -259,64 +261,85 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     env_spec = _spec_like(engine.env_blk, BLK)
     state_spec = SpmdOptState(
         x=BLK, xTilde=BLK, xPhys=BLK, u=BLK, L=BLK, U=BLK, xo1=BLK,
-        xo2=BLK, fscale=REP, fx=REP, gx=REP, ch=REP, solver_iters=REP,
+        xo2=BLK, fscale=REP, fx=REP, gx=REP, ch=REP, mnd=REP,
+        solver_iters=REP, solver_relres=REP,
     )
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(state_spec, BLK, env_spec),
-        out_specs=state_spec,
-        check_vma=False,
-    )
-    def step(state: SpmdOptState, rhs_blk, env_blk):
-        s_loc = SpmdOptState(
-            *[
-                peel(v) if spec is BLK else v
-                for v, spec in zip(state, state_spec)
-            ]
+    def make_step(first_iter: bool, fresh_asymptotes: bool):
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(state_spec, BLK, env_spec),
+            out_specs=state_spec,
+            check_vma=False,
         )
-        rhs = peel(rhs_blk)
-        env = jax.tree_util.tree_map(peel, env_blk)
+        def step(state: SpmdOptState, rhs_blk, env_blk):
+            s_loc = SpmdOptState(
+                *[
+                    peel(v) if spec is BLK else v
+                    for v, spec in zip(state, state_spec)
+                ]
+            )
+            rhs = peel(rhs_blk)
+            env = jax.tree_util.tree_map(peel, env_blk)
 
-        u, iters, relres, fx, gx, dfdx, dgdx = engine._physics_local(
-            s_loc.xPhys, s_loc.u, rhs, env
-        )
-        dfdx = dfdx * s_loc.fscale
-        Hs = conv_local(jnp.ones_like(s_loc.x))
-        dfdx = conv_local(dfdx / Hs)
-        dgdx = jnp.stack(
-            [conv_local(dgdx[j] / Hs) for j in range(cfg.m)]
-        )
-        xmin, xmax = mma._movelimit_impl(
-            s_loc.x,
-            jnp.asarray(cfg.Xmin, dt),
-            jnp.asarray(cfg.Xmax, dt),
-            jnp.asarray(cfg.movlim, dt),
-        )
-        x_new, L, U, lam, y, z = mma._update_impl(
-            s_loc.x, dfdx, gx, dgdx, xmin, xmax,
-            s_loc.L, s_loc.U, s_loc.xo1, s_loc.xo2,
-            fresh_asymptotes=False,
-        )
-        ch = pmax_scalar(jnp.max(jnp.abs(x_new - s_loc.x)))
-        xTilde = conv_local(x_new) / Hs
-        xPhys = xTilde
-        out = SpmdOptState(
-            x=x_new, xTilde=xTilde, xPhys=xPhys, u=u, L=L, U=U,
-            xo1=s_loc.x, xo2=s_loc.xo1, fscale=s_loc.fscale, fx=fx,
-            gx=gx, ch=ch, solver_iters=iters,
-        )
-        return SpmdOptState(
-            *[
-                unpeel(v) if spec is BLK else v
-                for v, spec in zip(out, state_spec)
-            ]
-        )
+            u, iters, relres, fx, gx, dfdx, dgdx = engine._physics_local(
+                s_loc.xPhys, s_loc.u, rhs, env
+            )
+            # objective auto-scale at the first iteration (main.cc:68-73)
+            fscale = 10.0 / fx if first_iter else s_loc.fscale
+            dfdx = dfdx * fscale
+            Hs = conv_local(jnp.ones_like(s_loc.x))
+            dfdx = conv_local(dfdx / Hs)
+            dgdx = jnp.stack(
+                [conv_local(dgdx[j] / Hs) for j in range(cfg.m)]
+            )
+            xmin, xmax = mma._movelimit_impl(
+                s_loc.x,
+                jnp.asarray(cfg.Xmin, dt),
+                jnp.asarray(cfg.Xmax, dt),
+                jnp.asarray(cfg.movlim, dt),
+            )
+            x_new, L, U, lam, y, z = mma._update_impl(
+                s_loc.x, dfdx, gx, dgdx, xmin, xmax,
+                s_loc.L, s_loc.U, s_loc.xo1, s_loc.xo2,
+                fresh_asymptotes=fresh_asymptotes,
+            )
+            ch = pmax_scalar(jnp.max(jnp.abs(x_new - s_loc.x)))
+            xTilde = conv_local(x_new) / Hs
+            xPhys = xTilde
+            nelem = engine.grid.nelem
+            mnd = psum_scalar(
+                jnp.sum(4.0 * xPhys * (1.0 - xPhys))
+            ) / nelem
+            out = SpmdOptState(
+                x=x_new, xTilde=xTilde, xPhys=xPhys, u=u, L=L, U=U,
+                xo1=s_loc.x, xo2=s_loc.xo1, fscale=fscale, fx=fx,
+                gx=gx, ch=ch, mnd=mnd, solver_iters=iters,
+                solver_relres=relres,
+            )
+            return SpmdOptState(
+                *[
+                    unpeel(v) if spec is BLK else v
+                    for v, spec in zip(out, state_spec)
+                ]
+            )
 
-    step_jit = jax.jit(
-        lambda st: step(st, engine.rhs_blk, engine.env_blk)
-    )
+        return jax.jit(step)
+
+    # three compiled variants cover the reference's k<3 asymptote logic
+    # (GenSub, MMA.cc:532-537) and the itr==1 objective scale; rhs/env
+    # flow as jit arguments (no large-array closures)
+    _steps = {
+        (True, True): make_step(True, True),
+        (False, True): make_step(False, True),
+        (False, False): make_step(False, False),
+    }
+
+    def step_jit(st: SpmdOptState, itr: int = 3):
+        key = (itr == 1, itr <= 2)
+        fn = _steps[key if key in _steps else (False, False)]
+        return fn(st, engine.rhs_blk, engine.env_blk)
 
     # initial state
     np_dt = np.float64 if cfg.dtype == "float64" else np.float32
@@ -336,6 +359,8 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         fx=jnp.asarray(0.0, dt),
         gx=jnp.zeros((cfg.m,), dt),
         ch=jnp.asarray(1.0, dt),
+        mnd=jnp.asarray(1.0, dt),
         solver_iters=jnp.asarray(0, jnp.int32),
+        solver_relres=jnp.asarray(1.0, dt),
     )
     return step_jit, init, engine

@@ -169,6 +169,10 @@ class GeometricMultigrid:
             ]
         else:
             self.KEps = [None] * self.nlvls
+        # Masks are *not* captured into jitted programs as constants —
+        # at 256^3+ a closed-over (nx,ny,nz,3) mask becomes a >200 MB
+        # XLA constant (breaks remote compile).  They are returned by
+        # `mask_args()` and flow through `setup`/`apply` as arguments.
         if masks is None:
             self.masks = None
         else:
@@ -202,12 +206,17 @@ class GeometricMultigrid:
             ones, coef, jnp.abs(self.KEps[level])
         )
 
-    def apply(self, level: int, coef: jax.Array, v: jax.Array) -> jax.Array:
+    def mask_args(self):
+        """Per-level masks as a pytree to pass through jit boundaries."""
+        return self.masks
+
+    def apply(self, level: int, coef: jax.Array, v: jax.Array,
+              masks=None) -> jax.Array:
         """A_l v = N (K_l (N v)) + (I - N) v   (LinearElasticity.cc:530-538,
         applied matrix-free at every level)."""
-        if self.masks is None:
+        if masks is None:
             return self._raw_apply(level, coef, v)
-        N = self.masks[level]
+        N = masks[level]
         Kv = self._raw_apply(level, coef, N * v)
         return N * Kv + (1.0 - N) * v
 
@@ -226,8 +235,10 @@ class GeometricMultigrid:
         return [Es[0]] + [octant_split(Es[l - 1])
                           for l in range(1, self.nlvls)]
 
-    def setup(self, scale_fine: jax.Array) -> List[dict]:
-        """Build per-level {coef, dinv, lmax} from the fine element scale.
+    def setup(self, scale_fine: jax.Array, masks=None) -> List[dict]:
+        """Build per-level {coef, dinv, lmax, mask} from the fine element
+        scale.  `masks` must be passed as (traced) arguments, not
+        captured (see __init__ note).
 
         lmax uses the certain Gershgorin-style bound (one |KE| matvec of
         ones) — power iteration can underestimate at high SIMP contrast,
@@ -237,25 +248,31 @@ class GeometricMultigrid:
         for l, coef in enumerate(self._level_coefs(scale_fine)):
             nn = self.grids[l].nn
             d = self._raw_diag(l, coef, nn)
-            if self.masks is not None:
-                N = self.masks[l]
-                d = N * d + (1.0 - N)
+            mask = None if masks is None else masks[l]
+            if mask is not None:
+                d = mask * d + (1.0 - mask)
             ones = jnp.ones((nn[0], nn[1], nn[2], self.dof), self.dtype)
             R = self._raw_absrowsum(l, coef, ones)
-            mask = None if self.masks is None else self.masks[l]
             lmax = gershgorin_lambda_max(R, d, mask)
-            levels.append({"coef": coef, "dinv": 1.0 / d, "lmax": lmax})
+            levels.append(
+                {"coef": coef, "dinv": 1.0 / d, "lmax": lmax,
+                 "mask": mask}
+            )
         return levels
 
     # -- V-cycle ------------------------------------------------------ #
 
-    def _mask(self, level: int, v: jax.Array) -> jax.Array:
-        return v if self.masks is None else self.masks[level] * v
+    @staticmethod
+    def _mask_of(levels, level, v):
+        m = levels[level]["mask"]
+        return v if m is None else m * v
 
     def vcycle(self, levels: List[dict], b: jax.Array, level: int = 0):
         """One multiplicative V(s,s) cycle; returns z ~= A^-1 b."""
         lvl = levels[level]
-        A = lambda v: self.apply(level, lvl["coef"], v)
+        masks = [l["mask"] for l in levels] if lvl["mask"] is not None \
+            else None
+        A = lambda v: self.apply(level, lvl["coef"], v, masks)
 
         if level == self.nlvls - 1:
             res = pcg(
@@ -283,9 +300,9 @@ class GeometricMultigrid:
 
         x = smooth(b, jnp.zeros_like(b))
         r = b - A(x)
-        rc = self._mask(level + 1, restrict(r))
+        rc = self._mask_of(levels, level + 1, restrict(r))
         ec = self.vcycle(levels, rc, level + 1)
-        x = x + self._mask(level, prolong(ec))
+        x = x + self._mask_of(levels, level, prolong(ec))
         x = smooth(b, x)
         return x
 
