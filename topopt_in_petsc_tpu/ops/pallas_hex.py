@@ -35,10 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 from topopt_in_petsc_tpu.grid import CORNER_OFFSETS
 
 
-def _kernel(up_hbm, ep_hbm, keb_ref, out_ref, ubuf, ebuf, sems,
+def _kernel(up_hbm, ep_hbm, out_ref, ubuf, ebuf, sems,
             *, TX: int, TY: int, nz: int, keb: np.ndarray):
     """One (TX, TY, nz) output tile; up/ep stay in HBM (ANY) and the
-    needed halo windows are DMA'd in."""
+    needed halo windows are DMA'd in.
+
+    Mosaic constraints honored (this build crashes otherwise): DMAs copy
+    FULL lane extents only, and every VMEM scratch has a 128-multiple
+    lane dim — so the staging arrays are lane-padded on the host and the
+    compute reads odd-sized lane slices out of aligned buffers.
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -107,9 +113,10 @@ def make_pallas_hex_apply(
         0, 2, 1, 3
     )
 
-    # padded HBM shapes: u (3, gx*TX+2, gy*TY+2, nz+2); E one less + pad
+    # padded HBM shapes: u (3, gx*TX+2, gy*TY+2, ZP); E one less + pad;
+    # lane (z) dim padded to a 128 multiple (full-lane DMA requirement)
     upx, upy = gx * TX + 2, gy * TY + 2
-    nzp = nz + 2
+    ZP = -(-(nz + 2) // 128) * 128
 
     kern = functools.partial(
         _kernel, TX=TX, TY=TY, nz=nz, keb=keb
@@ -119,9 +126,8 @@ def make_pallas_hex_apply(
         kern,
         grid=(gx, gy),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # keb (unused ref)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (3, TX, TY, nz),
@@ -131,28 +137,28 @@ def make_pallas_hex_apply(
         out_shape=jax.ShapeDtypeStruct((3, gx * TX, gy * TY, nz),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((3, TX + 2, TY + 2, nzp), jnp.float32),
-            # E window: z-slices pl.ds(1-oaz, nz) need nz+1 entries
-            pltpu.VMEM((TX + 1, TY + 1, nz + 1), jnp.float32),
+            pltpu.VMEM((3, TX + 2, TY + 2, ZP), jnp.float32),
+            pltpu.VMEM((TX + 1, TY + 1, ZP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )
 
-    keb_j = jnp.asarray(keb)
-
     def apply(u: jax.Array, E: jax.Array) -> jax.Array:
-        # to dof-major, zero-pad one halo cell + tile round-up
+        # to dof-major, zero-pad one halo cell + tile round-up; z (lane)
+        # padded to ZP
         ut = jnp.transpose(u.astype(jnp.float32), (3, 0, 1, 2))
         up = jnp.pad(
             ut,
-            ((0, 0), (1, upx - nx - 1), (1, upy - ny - 1), (1, 1)),
+            ((0, 0), (1, upx - nx - 1), (1, upy - ny - 1),
+             (1, ZP - nz - 1)),
         )
         epad = jnp.pad(
             E.astype(jnp.float32),
-            ((1, upx - 1 - ex - 1), (1, upy - 1 - ey - 1), (1, 1)),
+            ((1, upx - 1 - ex - 1), (1, upy - 1 - ey - 1),
+             (1, ZP - ez - 1)),
         )
-        out = call(up, epad, keb_j)
+        out = call(up, epad)
         out = out[:, :nx, :ny, :]
         return jnp.transpose(out, (1, 2, 3, 0)).astype(u.dtype)
 
