@@ -159,7 +159,9 @@ def test_spmd_solve_matches_single_device():
 
     # single-device reference
     phys = LinearElasticity(cfg)
-    ref = phys._step(jnp.asarray(x), jnp.zeros((17, 9, 9, 3)))
+    ref = phys.compute_objective_constraints_sensitivities(
+        jnp.asarray(x), jnp.zeros((17, 9, 9, 3))
+    )
 
     engine = SpmdElasticity(cfg)
     x_blk = engine.blocked_elem(x)

@@ -6,8 +6,10 @@ the host only advances the loop, logs, and handles VTU/restart cadences
 on gathered global arrays.  Selected by the CLI when -mesh_shape is not
 1,1,1 (driver.run_topopt).
 
-Current scope: density filter (type 1) without Heaviside projection; the
-other filter paths run through the single-device Driver.
+Current scope: convolution filters (type 0/1) with optional Heaviside
+projection + beta continuation; the PDE filter (type 2) composes
+SpmdElasticity + SpmdPDEFilter and currently runs through the
+single-device Driver.
 """
 
 from __future__ import annotations
@@ -32,11 +34,10 @@ from topopt_in_petsc_tpu.parallel.spmd_model import (
 class SpmdDriver:
     def __init__(self, cfg: TopOptConfig):
         cfg.validate()
-        if cfg.filter != 1 or cfg.projectionFilter:
+        if cfg.filter not in (0, 1):
             raise NotImplementedError(
-                "SPMD driver currently supports the density filter "
-                "(filter=1) without projection; use mesh_shape=(1,1,1) "
-                "for the other paths"
+                "SPMD driver currently supports filter types 0/1; use "
+                "mesh_shape=(1,1,1) for the PDE filter"
             )
         self.cfg = cfg
         print(cfg.banner())
@@ -136,6 +137,21 @@ class SpmdDriver:
             ch = float(s.ch)
             mnd = float(s.mnd)
             gx0 = float(s.gx[0])
+
+            # beta continuation (main.cc:92-95), host-side scalar update
+            changeBeta = False
+            if self.cfg.projectionFilter:
+                from topopt_in_petsc_tpu.opt.filters import DesignFilter
+
+                beta, changeBeta = DesignFilter.increase_beta(
+                    float(s.beta), self.cfg.betaFinal, gx0, self.itr, ch
+                )
+                if changeBeta or beta != float(s.beta):
+                    import jax.numpy as _jnp
+
+                    self.state = self.state._replace(
+                        beta=_jnp.asarray(beta, self.engine.dtype)
+                    )
             print(
                 f"State solver:  iter: {int(s.solver_iters)}, "
                 f"rerr.: {float(s.solver_relres):e}, time: {t2 - t1:f}"
@@ -152,7 +168,7 @@ class SpmdDriver:
             history["iters"].append(int(s.solver_iters))
             history["time"].append(t2 - t1)
 
-            if self.itr < 11 or self.itr % 20 == 0:
+            if self.itr < 11 or self.itr % 20 == 0 or changeBeta:
                 self._write_outputs(self.itr)
             if self.itr % 10 == 0:
                 self._write_restart()

@@ -207,6 +207,7 @@ class SpmdOptState(NamedTuple):
     xo1: jax.Array
     xo2: jax.Array
     fscale: jax.Array
+    beta: jax.Array  # Heaviside projection sharpness (continuation)
     fx: jax.Array
     gx: jax.Array
     ch: jax.Array
@@ -227,7 +228,13 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     mesh = engine.mesh
     mesh_shape = engine.mesh_shape
 
-    # density filter: kernel + SPMD Hs (ghost-filled conv of ones)
+    # density/sensitivity filter: conv kernel + SPMD Hs (ghost-filled
+    # conv of ones); projection handled with the traced beta in the state
+    if cfg.filter not in (0, 1):
+        raise NotImplementedError(
+            "SPMD fused step supports filter types 0/1; compose "
+            "SpmdElasticity + SpmdPDEFilter for the PDE filter"
+        )
     s = filter_stencil_halfwidth(cfg.rmin, engine.grid.h, engine.grid.nn)
     exl = decomp.local_ne(0)
     if any(s > e for e in exl):
@@ -238,6 +245,12 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     kernel = jnp.asarray(
         build_filter_kernel(cfg.rmin, engine.grid.h, s), dt
     )
+    from topopt_in_petsc_tpu.opt.filters import (
+        smooth_projection,
+        smooth_projection_chainrule,
+    )
+    projection = bool(cfg.projectionFilter)
+    eta = jnp.asarray(cfg.eta, dt)
 
     def conv_local(x):
         lhs = ghost_fill_elem(x, s, mesh_shape)[None, None]
@@ -261,7 +274,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     env_spec = _spec_like(engine.env_blk, BLK)
     state_spec = SpmdOptState(
         x=BLK, xTilde=BLK, xPhys=BLK, u=BLK, L=BLK, U=BLK, xo1=BLK,
-        xo2=BLK, fscale=REP, fx=REP, gx=REP, ch=REP, mnd=REP,
+        xo2=BLK, fscale=REP, beta=REP, fx=REP, gx=REP, ch=REP, mnd=REP,
         solver_iters=REP, solver_relres=REP,
     )
 
@@ -290,10 +303,20 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             fscale = 10.0 / fx if first_iter else s_loc.fscale
             dfdx = dfdx * fscale
             Hs = conv_local(jnp.ones_like(s_loc.x))
-            dfdx = conv_local(dfdx / Hs)
-            dgdx = jnp.stack(
-                [conv_local(dgdx[j] / Hs) for j in range(cfg.m)]
-            )
+            if projection:
+                dproj = smooth_projection_chainrule(
+                    s_loc.xTilde, s_loc.beta, eta
+                )
+                dfdx = dfdx * dproj
+                dgdx = dgdx * dproj[None]
+            if cfg.filter == 0:
+                # sensitivity filter (Filter.cc:167-177)
+                dfdx = conv_local(dfdx * s_loc.x) / Hs / s_loc.x
+            else:
+                dfdx = conv_local(dfdx / Hs)
+                dgdx = jnp.stack(
+                    [conv_local(dgdx[j] / Hs) for j in range(cfg.m)]
+                )
             xmin, xmax = mma._movelimit_impl(
                 s_loc.x,
                 jnp.asarray(cfg.Xmin, dt),
@@ -306,15 +329,22 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
                 fresh_asymptotes=fresh_asymptotes,
             )
             ch = pmax_scalar(jnp.max(jnp.abs(x_new - s_loc.x)))
-            xTilde = conv_local(x_new) / Hs
-            xPhys = xTilde
+            if cfg.filter == 1:
+                xTilde = conv_local(x_new) / Hs
+            else:
+                xTilde = x_new
+            if projection:
+                xPhys = smooth_projection(xTilde, s_loc.beta, eta)
+            else:
+                xPhys = xTilde
             nelem = engine.grid.nelem
             mnd = psum_scalar(
                 jnp.sum(4.0 * xPhys * (1.0 - xPhys))
             ) / nelem
             out = SpmdOptState(
                 x=x_new, xTilde=xTilde, xPhys=xPhys, u=u, L=L, U=U,
-                xo1=s_loc.x, xo2=s_loc.xo1, fscale=fscale, fx=fx,
+                xo1=s_loc.x, xo2=s_loc.xo1, fscale=fscale,
+                beta=s_loc.beta, fx=fx,
                 gx=gx, ch=ch, mnd=mnd, solver_iters=iters,
                 solver_relres=relres,
             )
@@ -346,16 +376,24 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     x0g = np.full(engine.grid.ne, cfg.volfrac, np_dt)
     span = cfg.Xmax - cfg.Xmin
     x0 = engine.blocked_elem(x0g)
+    # initial filtered design (main.cc:48): conv preserves the constant
+    # volfrac field; projection maps it through the smoothed Heaviside
+    xPhys0 = (
+        smooth_projection(x0, jnp.asarray(cfg.beta, dt), eta)
+        if projection
+        else x0
+    )
     init = SpmdOptState(
         x=x0,
         xTilde=x0,
-        xPhys=x0,
+        xPhys=xPhys0,
         u=engine.zeros_nodal_blk(),
         L=engine.blocked_elem(x0g - 0.5 * span),
         U=engine.blocked_elem(x0g + 0.5 * span),
         xo1=x0,
         xo2=x0,
         fscale=jnp.asarray(1.0, dt),
+        beta=jnp.asarray(cfg.beta, dt),
         fx=jnp.asarray(0.0, dt),
         gx=jnp.zeros((cfg.m,), dt),
         ch=jnp.asarray(1.0, dt),
