@@ -25,6 +25,14 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def _checksum(arr: np.ndarray) -> int:
+    """Content checksum for checkpoint integrity (the reference relies on
+    the A/B flip alone, TopOpt.cc:526-531; we verify on load too)."""
+    from topopt_in_petsc_tpu.io import native
+
+    return native.checksum64(np.ascontiguousarray(arr).tobytes())
+
+
 class RestartManager:
     def __init__(self, workdir: str = "./", enabled: bool = True):
         self.enabled = enabled
@@ -45,16 +53,18 @@ class RestartManager:
         path = self.file00 if not self.flip else self.file01
         sol_path = self.sol00 if not self.flip else self.sol01
         tmp = path + ".tmp.npz"
+        x_np = np.asarray(x)
         np.savez(
             tmp,
             itr=np.int64(itr),
             fscale=np.float64(fscale),
-            x=np.asarray(x),
+            x=x_np,
             xPhys=np.asarray(xPhys),
             xo1=np.asarray(xo1),
             xo2=np.asarray(xo2),
             U=np.asarray(U),
             L=np.asarray(L),
+            checksum=np.uint64(_checksum(x_np)),
         )
         os.replace(tmp, path)
         tmp = sol_path + ".tmp.npz"
@@ -70,7 +80,13 @@ class RestartManager:
                 print(f"File: {path} NOT FOUND")
             return None
         with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+            data = {k: z[k] for k in z.files}
+        if "checksum" in data:
+            got = _checksum(np.asarray(data["x"]))
+            if int(data["checksum"]) != got:
+                print(f"CHECKPOINT CORRUPT (checksum mismatch): {path}")
+                return None
+        return data
 
     def load_state(self, path: str) -> Optional[np.ndarray]:
         if not path or not os.path.exists(path):

@@ -81,6 +81,10 @@ class DesignFilter:
         if self.filterType in (0, 1):
             s = filter_stencil_halfwidth(cfg.rmin, grid.h, grid.nn)
             self.stencil_halfwidth = s
+            print(
+                f"# Filter radius rmin = {cfg.rmin:f} results in a "
+                f"stencil of {s} elements"
+            )
             k = build_filter_kernel(cfg.rmin, grid.h, s)
             self.kernel = jnp.asarray(k, dtype=self.dtype)
             ones = jnp.ones(grid.ne, dtype=self.dtype)
