@@ -226,3 +226,54 @@ class TestPDEFilter:
         assert xt.var() < 0.25 * x.var()
         # mean approximately preserved (mass conservation of Helmholtz)
         assert abs(xt.mean() - x.mean()) < 5e-3
+
+
+class TestFFTConvBackend:
+    def test_fft_matches_direct(self):
+        """FFT conv backend == direct conv (and == dense H) with a large
+        stencil."""
+        from topopt_in_petsc_tpu.ops.conv_filter import (
+            conv3d_direct,
+            make_fft_conv,
+        )
+        from topopt_in_petsc_tpu.opt.filters import build_filter_kernel
+
+        rng = np.random.default_rng(0)
+        shape = (16, 12, 10)
+        h = (0.05, 0.05, 0.05)
+        R = 0.26  # halfwidth 5 -> 11^3 taps
+        from topopt_in_petsc_tpu.opt.filters import (
+            filter_stencil_halfwidth,
+        )
+
+        s = filter_stencil_halfwidth(R, h, tuple(n + 1 for n in shape))
+        k = build_filter_kernel(R, h, s)
+        x = jnp.asarray(rng.uniform(size=shape))
+        direct = conv3d_direct(x, jnp.asarray(k))
+        fft = make_fft_conv(shape, k, jnp.float64)(x)
+        np.testing.assert_allclose(
+            np.asarray(fft), np.asarray(direct), rtol=1e-10, atol=1e-12
+        )
+
+    def test_fft_valid_mode(self):
+        """crop_offset=s: VALID conv on a pre-ghosted block."""
+        from topopt_in_petsc_tpu.ops.conv_filter import (
+            conv3d_direct,
+            make_fft_conv,
+        )
+        from topopt_in_petsc_tpu.opt.filters import build_filter_kernel
+
+        rng = np.random.default_rng(1)
+        s = 2
+        k = build_filter_kernel(0.16, (0.0625,) * 3, s)
+        inner = (8, 8, 8)
+        x = rng.uniform(size=inner)
+        xpad = np.pad(x, s)  # ghosted with zeros
+        ref = conv3d_direct(jnp.asarray(x), jnp.asarray(k))  # SAME/zero
+        got = make_fft_conv(
+            tuple(n + 2 * s for n in inner), k, jnp.float64,
+            crop_offset=s,
+        )(jnp.asarray(xpad))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-10, atol=1e-12
+        )

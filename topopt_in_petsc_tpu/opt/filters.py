@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from topopt_in_petsc_tpu.ops.conv_filter import (
+    FFT_TAP_THRESHOLD,
+    conv3d_direct,
+    make_fft_conv,
+)
+
 
 def filter_stencil_halfwidth(
     R: float, h: Tuple[float, float, float], nn: Tuple[int, int, int]
@@ -87,8 +93,14 @@ class DesignFilter:
             )
             k = build_filter_kernel(cfg.rmin, grid.h, s)
             self.kernel = jnp.asarray(k, dtype=self.dtype)
+            # backend: direct conv for small stencils, FFT for large
+            # (XLA's direct 3D conv is pathologically slow above ~7^3)
+            if (2 * s + 1) ** 3 > FFT_TAP_THRESHOLD:
+                self._fft_conv = make_fft_conv(grid.ne, k, self.dtype)
+            else:
+                self._fft_conv = None
             ones = jnp.ones(grid.ne, dtype=self.dtype)
-            self.Hs = self._conv(ones)
+            self.Hs = jax.jit(self._conv)(ones)
         elif self.filterType == 2:
             from topopt_in_petsc_tpu.opt.pde_filter import PDEFilter
 
@@ -105,16 +117,9 @@ class DesignFilter:
     # -- convolution H (SpMV MatMult(H, x) equivalent) ------------------ #
 
     def _conv(self, x: jax.Array) -> jax.Array:
-        lhs = x[None, None].astype(self.dtype)  # NCDHW
-        rhs = self.kernel[None, None]  # OIDHW
-        out = jax.lax.conv_general_dilated(
-            lhs,
-            rhs,
-            window_strides=(1, 1, 1),
-            padding="SAME",
-            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        )
-        return out[0, 0]
+        if self._fft_conv is not None:
+            return self._fft_conv(x.astype(self.dtype))
+        return conv3d_direct(x.astype(self.dtype), self.kernel)
 
     # -- FilterProject (Filter.cc:60-117) ------------------------------- #
 

@@ -242,9 +242,19 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             f"filter stencil halfwidth {s} exceeds local block {exl}; "
             "use the PDE filter or a larger block"
         )
-    kernel = jnp.asarray(
-        build_filter_kernel(cfg.rmin, engine.grid.h, s), dt
+    kernel_np = build_filter_kernel(cfg.rmin, engine.grid.h, s)
+    kernel = jnp.asarray(kernel_np, dt)
+    from topopt_in_petsc_tpu.ops.conv_filter import (
+        FFT_TAP_THRESHOLD,
+        make_fft_conv,
     )
+
+    fft_conv_valid = None
+    if (2 * s + 1) ** 3 > FFT_TAP_THRESHOLD:
+        ghosted_shape = tuple(e + 2 * s for e in decomp.local_ne(0))
+        fft_conv_valid = make_fft_conv(
+            ghosted_shape, kernel_np, dt, crop_offset=s
+        )
     from topopt_in_petsc_tpu.opt.filters import (
         smooth_projection,
         smooth_projection_chainrule,
@@ -253,10 +263,11 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     eta = jnp.asarray(cfg.eta, dt)
 
     def conv_local(x):
-        lhs = ghost_fill_elem(x, s, mesh_shape)[None, None]
-        rhs = kernel[None, None]
+        g = ghost_fill_elem(x, s, mesh_shape)
+        if fft_conv_valid is not None:
+            return fft_conv_valid(g)
         out = lax.conv_general_dilated(
-            lhs, rhs, (1, 1, 1), "VALID",
+            g[None, None], kernel[None, None], (1, 1, 1), "VALID",
             dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
         )
         return out[0, 0]
