@@ -60,24 +60,36 @@ def make_fft_conv(
     KF = np.fft.rfftn(k)
 
     f64 = dtype == jnp.float64
-    KF_j = jnp.asarray(KF.astype(np.complex128 if f64 else np.complex64))
     real_dt = jnp.float64 if f64 else jnp.float32
+    np_real = np.float64 if f64 else np.float32
+    # the spectrum travels as TWO REAL arrays: complex constants embedded
+    # in compiled programs are UNIMPLEMENTED on this TPU backend (and
+    # large closures should be arguments anyway); callers thread `consts`
+    # through their jit boundaries.
+    consts = (
+        jnp.asarray(KF.real.astype(np_real)),
+        jnp.asarray(KF.imag.astype(np_real)),
+    )
     o = crop_offset
     out_shape = tuple(shape[a] - 2 * o for a in range(3))
 
-    def conv(x: jax.Array) -> jax.Array:
+    def conv(x: jax.Array, consts=consts) -> jax.Array:
+        kf = jax.lax.complex(
+            consts[0].astype(real_dt), consts[1].astype(real_dt)
+        )
         xp = jnp.pad(
             x.astype(real_dt),
             [(0, full[a] - shape[a]) for a in range(3)],
         )
         XF = jnp.fft.rfftn(xp)
-        out = jnp.fft.irfftn(XF * KF_j, s=full)
+        out = jnp.fft.irfftn(XF * kf, s=full)
         return out[
             o : o + out_shape[0],
             o : o + out_shape[1],
             o : o + out_shape[2],
         ].astype(dtype)
 
+    conv.consts = consts
     return conv
 
 

@@ -97,8 +97,10 @@ class DesignFilter:
             # (XLA's direct 3D conv is pathologically slow above ~7^3)
             if (2 * s + 1) ** 3 > FFT_TAP_THRESHOLD:
                 self._fft_conv = make_fft_conv(grid.ne, k, self.dtype)
+                self._fft_consts = self._fft_conv.consts
             else:
                 self._fft_conv = None
+                self._fft_consts = None
             ones = jnp.ones(grid.ne, dtype=self.dtype)
             self.Hs = jax.jit(self._conv)(ones)
         elif self.filterType == 2:
@@ -116,16 +118,20 @@ class DesignFilter:
 
     # -- convolution H (SpMV MatMult(H, x) equivalent) ------------------ #
 
-    def _conv(self, x: jax.Array) -> jax.Array:
+    def _conv(self, x: jax.Array, fft_consts=None) -> jax.Array:
         if self._fft_conv is not None:
-            return self._fft_conv(x.astype(self.dtype))
+            return self._fft_conv(
+                x.astype(self.dtype),
+                self._fft_consts if fft_consts is None else fft_consts,
+            )
         return conv3d_direct(x.astype(self.dtype), self.kernel)
 
     # -- FilterProject (Filter.cc:60-117) ------------------------------- #
 
-    def _project_impl(self, x, beta, eta, Hs=None, *, projection: bool):
+    def _project_impl(self, x, beta, eta, Hs=None, fft_consts=None, *,
+                      projection: bool):
         if self.filterType == 1:
-            xTilde = self._conv(x) / Hs
+            xTilde = self._conv(x, fft_consts) / Hs
         elif self.filterType == 2:
             xTilde, _ = self.pdef._project_core(x)
             xTilde = jnp.clip(xTilde, 0.0, 1.0)
@@ -154,13 +160,14 @@ class DesignFilter:
             jnp.asarray(beta, self.dtype),
             jnp.asarray(eta, self.dtype),
             self.Hs,
+            self._fft_consts,
             projection=bool(projection),
         )
 
     # -- Gradients (Filter.cc:120-204) ---------------------------------- #
 
     def _gradients_impl(self, x, xTilde, dfdx, dgdx, beta, eta, Hs=None,
-                        *, projection: bool):
+                        fft_consts=None, *, projection: bool):
         if projection:
             dproj = smooth_projection_chainrule(xTilde, beta, eta)
             dfdx = dfdx * dproj
@@ -168,11 +175,12 @@ class DesignFilter:
         if self.filterType == 0:
             # sensitivity filter: dfdx <- (H (dfdx o x)) / Hs / x
             # (Filter.cc:167-177; x floored at Xmin=0.001, TopOpt.cc:357)
-            dfdx = self._conv(dfdx * x) / Hs / x
+            dfdx = self._conv(dfdx * x, fft_consts) / Hs / x
         elif self.filterType == 1:
-            dfdx = self._conv(dfdx / Hs)
+            dfdx = self._conv(dfdx / Hs, fft_consts)
             dgdx = jnp.stack(
-                [self._conv(dgdx[j] / Hs) for j in range(dgdx.shape[0])]
+                [self._conv(dgdx[j] / Hs, fft_consts)
+                 for j in range(dgdx.shape[0])]
             )
         return dfdx, dgdx
 
@@ -196,6 +204,7 @@ class DesignFilter:
             jnp.asarray(beta, self.dtype),
             jnp.asarray(eta, self.dtype),
             self.Hs,
+            self._fft_consts,
             projection=bool(projection),
         )
 

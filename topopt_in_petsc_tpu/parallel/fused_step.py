@@ -61,15 +61,18 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
 
     rhs = physics.RHS
     masks = physics.mg.mask_args()
+    filt_consts = (filt.Hs, filt._fft_consts)
 
-    # rhs/masks flow as jit arguments (large-array closures become XLA
-    # constants, which breaks compilation at 256^3+)
-    def step(s: OptState, rhs, masks) -> OptState:
+    # rhs/masks/filter constants flow as jit arguments (large-array
+    # closures become XLA constants, which breaks compilation at 256^3+,
+    # and complex constants are UNIMPLEMENTED on this backend)
+    def step(s: OptState, rhs, masks, filt_consts) -> OptState:
+        Hs, fft_consts = filt_consts
         res = physics._step_impl(s.xPhys, s.u, rhs, masks)
         dfdx = res.dfdx * s.fscale
         dfdx, dgdx = filt._gradients_impl(
-            s.x, s.xTilde, dfdx, res.dgdx, beta, eta, filt.Hs,
-            projection=projection,
+            s.x, s.xTilde, dfdx, res.dgdx, beta, eta, Hs,
+            fft_consts, projection=projection,
         )
         xmin, xmax = mma._movelimit_impl(
             s.x,
@@ -83,7 +86,8 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         )
         ch = jnp.max(jnp.abs(x_new - s.x))
         xTilde, xPhys = filt._project_impl(
-            x_new, beta, eta, filt.Hs, projection=projection
+            x_new, beta, eta, Hs, fft_consts,
+            projection=projection,
         )
         return OptState(
             x=x_new, xTilde=xTilde, xPhys=xPhys, u=res.u,
@@ -131,13 +135,19 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         rhs = jax.device_put(rhs, ns)
         masks = [jax.device_put(m, rs) for m in masks]
         mask_shardings = [rs for _ in masks]
+        fc_shardings = jax.tree_util.tree_map(
+            lambda _: rs, filt_consts
+        )
+        filt_consts = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, rs), filt_consts
+        )
         inner = jax.jit(
             step,
-            in_shardings=(shardings, ns, mask_shardings),
+            in_shardings=(shardings, ns, mask_shardings, fc_shardings),
             out_shardings=shardings,
         )
     else:
         inner = jax.jit(step)
 
-    step_jit = lambda s: inner(s, rhs, masks)
+    step_jit = lambda s: inner(s, rhs, masks, filt_consts)
     return step_jit, init
