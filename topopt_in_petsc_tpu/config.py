@@ -87,6 +87,9 @@ class TopOptConfig:
 
     # --- TPU-native knobs (no reference equivalent) ---
     dtype: str = "float32"  # field dtype: "float32" | "float64"
+    operator_impl: str = "xla"  # fine-level K@u: "xla" | "pallas"
+    # (pallas: fused VMEM kernel, experimental on this environment's
+    # remote Mosaic compiler — see ops/pallas_hex.py)
     precise_dots: bool = True  # upcast CG/objective reductions to f64
     mesh_shape: tuple = (1, 1, 1)  # device mesh (x, y, z); product = #devices
     output_cadence_vtu: bool = True  # write .vtu fields like main.cc:114-116
@@ -162,7 +165,7 @@ class TopOptConfig:
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
                    "precise_dots", "output_cadence_vtu", "output_dat")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
-                  "workdir", "dtype", "coarse_op")
+                  "workdir", "dtype", "coarse_op", "operator_impl")
 
     @classmethod
     def from_args(cls, argv: Sequence[str]) -> "TopOptConfig":

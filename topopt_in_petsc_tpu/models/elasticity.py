@@ -114,6 +114,17 @@ class LinearElasticity:
             coarse_op=cfg.coarse_op,
         )
 
+        # optional Pallas fine-level operator (cfg.operator_impl)
+        self._pallas_apply = None
+        if cfg.operator_impl == "pallas":
+            from topopt_in_petsc_tpu.ops.pallas_hex import (
+                make_pallas_hex_apply,
+            )
+
+            self._pallas_apply = make_pallas_hex_apply(
+                self.grid.nn, np.asarray(self.KE)
+            )
+
         self._step = jax.jit(self._step_impl)
         self._solve = jax.jit(self._solve_impl)
 
@@ -132,7 +143,15 @@ class LinearElasticity:
         cfg = self.cfg
         E = self.simp(xPhys.astype(self.dtype))
         levels = self.mg.setup(E, masks)
-        A = lambda v: self.mg.apply(0, E, v, masks)
+        if self._pallas_apply is not None:
+            N = masks[0]
+
+            def A(v):
+                Kv = self._pallas_apply(N * v, E)
+                return N * Kv + (1.0 - N) * v
+
+        else:
+            A = lambda v: self.mg.apply(0, E, v, masks)
         M = self.mg.preconditioner(levels)
         res = pcg(
             A,
