@@ -1,0 +1,126 @@
+"""API-surface tests: CLI parsing, config validation, MMA options
+(RobustAsymptotesType, constraint modification, SetAsymptotes, KKT)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topopt_in_petsc_tpu.config import TopOptConfig
+from topopt_in_petsc_tpu.grid import Grid
+from topopt_in_petsc_tpu.opt.mma import MMA
+
+
+class TestCLI:
+    def test_reference_flags(self):
+        cfg = TopOptConfig.from_args(
+            [
+                "-nx", "129", "-ny", "65", "-nz", "65", "-penal", "3.5",
+                "-volfrac", "0.2", "-rmin", "0.04", "-maxItr", "10",
+                "-filter", "2", "-projectionFilter", "1", "-beta", "2",
+                "-betaFinal", "16", "-eta", "0.5", "-Emin", "1e-6",
+                "-movlim", "0.1", "-nu", "0.25", "-nlvls", "3",
+                "-restart", "0", "-workdir", "/tmp/x",
+            ]
+        )
+        assert (cfg.nx, cfg.ny, cfg.nz) == (129, 65, 65)
+        assert cfg.penal == 3.5 and cfg.volfrac == 0.2
+        assert cfg.filter == 2 and cfg.projectionFilter
+        assert cfg.beta == 2.0 and cfg.betaFinal == 16.0
+        assert cfg.Emin == 1e-6 and cfg.nu == 0.25
+        assert not cfg.restart and cfg.workdir == "/tmp/x"
+
+    def test_mesh_shape_flag(self):
+        cfg = TopOptConfig.from_args(
+            ["-nx", "17", "-ny", "9", "-nz", "9", "-nlvls", "2",
+             "-mesh_shape", "2,2,2"]
+        )
+        assert cfg.mesh_shape == (2, 2, 2)
+
+    def test_unknown_flag_rejected(self):
+        with pytest.raises(ValueError, match="unknown option"):
+            TopOptConfig.from_args(["-bogus", "1"])
+
+    def test_mg_divisibility_check(self):
+        # 66 nodes -> 65 elements, not divisible by 8 (TopOpt.cc:183-201)
+        with pytest.raises(ValueError, match="MULTIGRID"):
+            TopOptConfig.from_args(["-nx", "66"])
+
+    def test_sens_filter_floors_xmin(self):
+        cfg = TopOptConfig.from_args(["-filter", "0"])
+        assert cfg.Xmin == 0.001  # TopOpt.cc:357-359
+
+
+class TestGrid:
+    def test_coarsen_error(self):
+        g = Grid(nn=(4, 4, 4))  # 3 elements per axis, odd
+        with pytest.raises(ValueError):
+            g.coarsen()
+
+    def test_hierarchy_shapes(self):
+        g = Grid(nn=(17, 9, 9))
+        h = g.hierarchy(3)
+        assert [x.nn for x in h] == [(17, 9, 9), (9, 5, 5), (5, 3, 3)]
+
+
+class TestMMAOptions:
+    def _run(self, mma, iters=15):
+        shape = (3, 3, 3)
+        n = 27
+        rng = np.random.default_rng(0)
+        c = -rng.uniform(1.0, 2.0, size=shape)
+        x = jnp.full(shape, 0.4)
+        for _ in range(iters):
+            gx = jnp.asarray([float(jnp.mean(x)) - 0.4])
+            dgdx = jnp.full((1, *shape), 1.0 / n)
+            xmin, xmax = mma.set_outer_movelimit(0.0, 1.0, 0.2, x)
+            x = mma.update(x, jnp.asarray(c), gx, dgdx, xmin, xmax)
+        return x
+
+    def test_robust_asymptotes_type1(self):
+        mma = MMA(27, 1, (3, 3, 3), jnp.float64,
+                  robust_asymptotes_type=1)
+        x = self._run(mma)
+        assert np.all(np.isfinite(np.asarray(x)))
+        assert float(jnp.mean(x)) <= 0.4 + 1e-3
+
+    def test_set_robust_type_validation(self):
+        mma = MMA(8, 1, (2, 2, 2), jnp.float64)
+        mma.set_robust_asymptotes_type(1)
+        assert mma.robust_type == 1
+        mma.set_robust_asymptotes_type(7)  # invalid -> stays (prints)
+        assert mma.robust_type == 1
+
+    def test_constraint_modification(self):
+        mma = MMA(27, 1, (3, 3, 3), jnp.float64,
+                  constraint_modification=True)
+        x = self._run(mma)
+        assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_set_asymptotes(self):
+        mma = MMA(27, 1, (3, 3, 3), jnp.float64)
+        mma.set_asymptotes(0.2, 0.65, 1.05)
+        assert (mma.asyminit, mma.asymdec, mma.asyminc) == (
+            0.2, 0.65, 1.05
+        )
+        x = self._run(mma)
+        assert np.all(np.isfinite(np.asarray(x)))
+
+    def test_kkt_residual(self):
+        shape = (3, 3, 3)
+        n = 27
+        mma = MMA(n, 1, shape, jnp.float64)
+        rng = np.random.default_rng(3)
+        t = rng.uniform(0.3, 0.7, size=shape)
+        x = jnp.full(shape, 0.5)
+        dgdx = jnp.full((1, *shape), 1.0 / n)
+        for it in range(40):
+            dfdx = 2.0 * (x - t)
+            gx = jnp.asarray([float(jnp.mean(x)) - 10.0])
+            xmin, xmax = mma.set_outer_movelimit(0.0, 1.0, 0.5, x)
+            x = mma.update(x, dfdx, gx, dgdx, xmin, xmax)
+        dfdx = 2.0 * (x - t)
+        gx = jnp.asarray([float(jnp.mean(x)) - 10.0])
+        xmin, xmax = mma.set_outer_movelimit(0.0, 1.0, 0.5, x)
+        n2, ninf = mma.kkt_residual(x, dfdx, gx, dgdx, xmin, xmax)
+        # near the unconstrained optimum, KKT residuals are small
+        assert n2 < 0.2 and ninf < 0.1
