@@ -60,3 +60,19 @@ def test_spmd_driver_restart(tmp_path):
     assert d2.itr == 10
     h = d2.run()
     assert len(h["fx"]) <= 2
+
+
+def test_spmd_driver_projection(tmp_path):
+    """Projection + beta continuation through the SPMD driver."""
+    from topopt_in_petsc_tpu.parallel.spmd_driver import SpmdDriver
+
+    cfg = TopOptConfig(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=3,
+        dtype="float64", workdir=str(tmp_path), mesh_shape=(2, 2, 2),
+        output_cadence_vtu=False, projectionFilter=True, beta=1.0,
+        betaFinal=4.0,
+    )
+    cfg.validate()
+    h = SpmdDriver(cfg).run()
+    assert len(h["fx"]) == 3
+    assert all(np.isfinite(v) for v in h["fx"])

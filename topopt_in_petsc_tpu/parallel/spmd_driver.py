@@ -99,6 +99,10 @@ class SpmdDriver:
         }
 
     def _write_outputs(self, itr, final=False):
+        from topopt_in_petsc_tpu.parallel.multihost import is_primary
+
+        if not is_primary():
+            return
         gl = self._globals()
         if self.cfg.output_cadence_vtu:
             path = os.path.join(
@@ -110,6 +114,10 @@ class SpmdDriver:
             )
 
     def _write_restart(self):
+        from topopt_in_petsc_tpu.parallel.multihost import is_primary
+
+        if not is_primary():
+            return
         gl = self._globals()
         self.restart_mgr.write(
             self.itr, float(self.state.fscale), gl["x"], gl["xPhys"],
