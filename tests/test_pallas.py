@@ -31,3 +31,19 @@ def test_pallas_interpret_matches_xla(nn, tile):
     got = ap(u, E)
     err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
     assert err < 1e-5
+
+
+def test_pallas_split_matches():
+    grid = Grid(nn=(17, 9, 9), lo=(0, 0, 0), hi=(2, 1, 1))
+    KE = hex8_stiffness(*grid.h, 0.3)
+    rng = np.random.default_rng(2)
+    E = jnp.asarray(rng.uniform(0.1, 1.0, size=grid.ne), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(*grid.nn, 3)), jnp.float32)
+    ref = apply_hex_operator(u, E, jnp.asarray(KE, jnp.float32))
+    for split in (2, 4):
+        ap = make_pallas_hex_apply(
+            grid.nn, KE, tile=(8, 8), interpret=True, split=split
+        )
+        got = ap(u, E)
+        err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+        assert err < 1e-5, f"split={split} err={err}"

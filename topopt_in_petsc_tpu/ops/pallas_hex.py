@@ -36,7 +36,7 @@ from topopt_in_petsc_tpu.grid import CORNER_OFFSETS
 
 
 def _kernel(up_hbm, ep_hbm, out_ref, ubuf, ebuf, sems,
-            *, TX: int, TY: int, nz: int, keb: np.ndarray):
+            *, TX: int, TY: int, nz: int, keb: np.ndarray, pairs=None):
     """One (TX, TY, nz) output tile; up/ep stay in HBM (ANY) and the
     needed halo windows are DMA'd in.
 
@@ -63,16 +63,24 @@ def _kernel(up_hbm, ep_hbm, out_ref, ubuf, ebuf, sems,
     u_dma.wait()
     e_dma.wait()
 
+    if pairs is None:
+        pairs = [(a, b) for a in range(8) for b in range(8)]
     acc = [jnp.zeros((TX, TY, nz), jnp.float32) for _ in range(3)]
-    for a, oa in enumerate(CORNER_OFFSETS):
-        # E placed at corner a: for out nodes [x0, x0+TX), element index
-        # n - oa -> padded-E window offset (1 - oa)
-        Ea = ebuf[
-            pl.ds(1 - oa[0], TX),
-            pl.ds(1 - oa[1], TY),
-            pl.ds(1 - oa[2], nz),
-        ]
-        for b, ob in enumerate(CORNER_OFFSETS):
+    last_a = None
+    Ea = None
+    for a, b in pairs:
+        oa = CORNER_OFFSETS[a]
+        ob = CORNER_OFFSETS[b]
+        if a != last_a:
+            # E placed at corner a: for out nodes [x0, x0+TX), element
+            # index n - oa -> padded-E window offset (1 - oa)
+            Ea = ebuf[
+                pl.ds(1 - oa[0], TX),
+                pl.ds(1 - oa[1], TY),
+                pl.ds(1 - oa[2], nz),
+            ]
+            last_a = a
+        if True:
             dx, dy, dz = ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2]
             us = [
                 ubuf[
@@ -99,6 +107,7 @@ def make_pallas_hex_apply(
     *,
     tile: Tuple[int, int] = (8, 8),
     interpret: bool = False,
+    split: int = 1,
 ):
     """Build `apply(u, E) -> K@u` for a fixed grid size.
 
@@ -118,31 +127,41 @@ def make_pallas_hex_apply(
     upx, upy = gx * TX + 2, gy * TY + 2
     ZP = -(-(nz + 2) // 128) * 128
 
-    kern = functools.partial(
-        _kernel, TX=TX, TY=TY, nz=nz, keb=keb
-    )
+    all_pairs = [(a, b) for a in range(8) for b in range(8)]
+    chunks = [
+        all_pairs[i :: split] for i in range(split)
+    ] if split > 1 else [all_pairs]
 
-    call = pl.pallas_call(
-        kern,
-        grid=(gx, gy),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (3, TX, TY, nz),
-            lambda i, j: (0, i, j, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, gx * TX, gy * TY, nz),
-                                       jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((3, TX + 2, TY + 2, ZP), jnp.float32),
-            pltpu.VMEM((TX + 1, TY + 1, ZP), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )
+    calls = []
+    for pairs in chunks:
+        kern = functools.partial(
+            _kernel, TX=TX, TY=TY, nz=nz, keb=keb,
+            pairs=sorted(pairs),
+        )
+        calls.append(
+            pl.pallas_call(
+                kern,
+                grid=(gx, gy),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec(
+                    (3, TX, TY, nz),
+                    lambda i, j: (0, i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (3, gx * TX, gy * TY, nz), jnp.float32
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((3, TX + 2, TY + 2, ZP), jnp.float32),
+                    pltpu.VMEM((TX + 1, TY + 1, ZP), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=interpret,
+            )
+        )
 
     def apply(u: jax.Array, E: jax.Array) -> jax.Array:
         # to dof-major, zero-pad one halo cell + tile round-up; z (lane)
@@ -158,7 +177,9 @@ def make_pallas_hex_apply(
             ((1, upx - 1 - ex - 1), (1, upy - 1 - ey - 1),
              (1, ZP - ez - 1)),
         )
-        out = call(up, epad)
+        out = calls[0](up, epad)
+        for extra in calls[1:]:
+            out = out + extra(up, epad)
         out = out[:, :nx, :ny, :]
         return jnp.transpose(out, (1, 2, 3, 0)).astype(u.dtype)
 
