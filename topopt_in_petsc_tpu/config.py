@@ -88,6 +88,7 @@ class TopOptConfig:
     # --- TPU-native knobs (no reference equivalent) ---
     dtype: str = "float32"  # field dtype: "float32" | "float64"
     operator_impl: str = "xla"  # fine-level K@u: "xla" | "pallas"
+    mg_dtype: str = "same"  # V-cycle precision: "same" | "bfloat16"
     # (pallas: fused VMEM kernel, experimental on this environment's
     # remote Mosaic compiler — see ops/pallas_hex.py)
     precise_dots: bool = True  # upcast CG/objective reductions to f64
@@ -165,7 +166,7 @@ class TopOptConfig:
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
                    "precise_dots", "output_cadence_vtu", "output_dat")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
-                  "workdir", "dtype", "coarse_op", "operator_impl")
+                  "workdir", "dtype", "coarse_op", "operator_impl", "mg_dtype")
 
     @classmethod
     def from_args(cls, argv: Sequence[str]) -> "TopOptConfig":

@@ -112,6 +112,9 @@ class LinearElasticity:
             coarse_maxit=cfg.coarse_maxit,
             precise_dots=cfg.precise_dots,
             coarse_op=cfg.coarse_op,
+            precond_dtype=(
+                jnp.bfloat16 if cfg.mg_dtype == "bfloat16" else None
+            ),
         )
 
         # optional Pallas fine-level operator (cfg.operator_impl)

@@ -125,8 +125,12 @@ def chebyshev_smooth(
     hypre-style), maintaining the true residual.  A fixed polynomial in
     (D^-1 A) applied to the residual: linear, SPD-compatible.
     """
-    lmin = lower * lmax
-    lmax_b = upper * lmax
+    # harmonize scalar dtypes with the field dtype (the bf16 V-cycle
+    # passes bf16 fields with an f32 eigenvalue bound; nudge the bound up
+    # so the low-precision rounding cannot shrink it below lambda_max)
+    lmax = (jnp.asarray(lmax) * 1.01).astype(b.dtype)
+    lmin = jnp.asarray(lower, b.dtype) * lmax
+    lmax_b = jnp.asarray(upper, b.dtype) * lmax
     theta = 0.5 * (lmax_b + lmin)
     delta = 0.5 * (lmax_b - lmin)
     sigma = theta / delta

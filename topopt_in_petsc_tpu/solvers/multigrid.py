@@ -146,7 +146,14 @@ class GeometricMultigrid:
         coarse_maxit: int = 30,
         precise_dots: bool = True,
         coarse_op: str = "rediscretize",
+        precond_dtype=None,
     ):
+        # precond_dtype: run the whole V-cycle in a lower precision
+        # (bf16): the preconditioner only steers CG, so its rounding
+        # costs a few extra FCG iterations while halving HBM traffic and
+        # using the fast MXU path; flexible CG absorbs the
+        # nonstationarity.  None = same dtype as the operator.
+        self.precond_dtype = precond_dtype
         self.grids = tuple(grids)
         self.nlvls = len(self.grids)
         self.dof = dof
@@ -307,4 +314,36 @@ class GeometricMultigrid:
         return x
 
     def preconditioner(self, levels: List[dict]) -> Callable:
-        return lambda r: self.vcycle(levels, r)
+        if self.precond_dtype is None:
+            return lambda r: self.vcycle(levels, r)
+        pdt = self.precond_dtype
+
+        def cast_level(lvl):
+            out = {}
+            for k, v in lvl.items():
+                if v is None:
+                    out[k] = None
+                elif k == "lmax":
+                    out[k] = v  # keep the eigenvalue bound in f32
+                else:
+                    out[k] = v.astype(pdt)
+            return out
+
+        def M(r):
+            lvls = [cast_level(l) for l in levels]
+            z = self.vcycle_cast(lvls, r.astype(pdt))
+            return z.astype(r.dtype)
+
+        return M
+
+    def vcycle_cast(self, levels, b, level: int = 0):
+        """vcycle on pre-cast levels, with element matrices cast too."""
+        pdt = self.precond_dtype
+        saved = (self.KEs, self.KEps)
+        self.KEs = [k.astype(pdt) for k in self.KEs]
+        self.KEps = [None if k is None else k.astype(pdt)
+                     for k in self.KEps]
+        try:
+            return self.vcycle(levels, b, level)
+        finally:
+            self.KEs, self.KEps = saved
