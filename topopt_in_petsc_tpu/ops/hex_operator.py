@@ -264,6 +264,44 @@ def apply_hex_operator_stencil(
     return out
 
 
+def apply_hex_operator_dofmajor(
+    u: jax.Array, scale: jax.Array, KE: jax.Array
+) -> jax.Array:
+    """64-term corner-pair form in dof-major layout: pure
+    scalar-coefficient fused multiply-adds over (nx, ny, nz) slabs.
+
+    u: (nx, ny, nz, dof) — transposed to (dof, nx, ny, nz) internally so
+    the minor dimension is the z-axis (good 128-lane utilization; the
+    dof-minor layout wastes 125/128 lanes and the (dof,dof) einsum form
+    trips a backend bug).  Same math as `apply_hex_operator`.
+    """
+    dof = u.shape[-1]
+    KEb = np.asarray(KE).reshape(8, dof, 8, dof).transpose(0, 2, 1, 3)
+    u3 = jnp.moveaxis(u, -1, 0)  # (dof, nx, ny, nz)
+    Ea = [_corner_pad_elem(scale, a) for a in range(8)]
+
+    outs = [None] * dof
+    for a, oa in enumerate(CORNER_OFFSETS):
+        for b, ob in enumerate(CORNER_OFFSETS):
+            d = (ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2])
+            us = [
+                _shift_nodal(u3[j], d) for j in range(dof)
+            ]
+            for i in range(dof):
+                lin = None
+                for j in range(dof):
+                    kij = float(KEb[a, b, i, j])
+                    if kij == 0.0:
+                        continue
+                    term = kij * us[j]
+                    lin = term if lin is None else lin + term
+                if lin is None:
+                    continue
+                contrib = Ea[a] * lin
+                outs[i] = contrib if outs[i] is None else outs[i] + contrib
+    return jnp.moveaxis(jnp.stack(outs), 0, -1)
+
+
 def hex_operator_diagonal_stencil(
     scale: jax.Array, KE: jax.Array, nn: tuple[int, int, int]
 ) -> jax.Array:
