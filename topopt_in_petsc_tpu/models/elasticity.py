@@ -130,6 +130,7 @@ class LinearElasticity:
 
         self._step = jax.jit(self._step_impl)
         self._solve = jax.jit(self._solve_impl)
+        self._objective = jax.jit(self._objective_parts)
 
     # -- SIMP interpolation (LinearElasticity.cc:519) ------------------ #
 
@@ -218,10 +219,22 @@ class LinearElasticity:
         self, xPhys, u0=None
     ) -> PhysicsResult:
         """ComputeObjectiveConstraintsSensitivities
-        (LinearElasticity.cc:363-445) as one fused jitted step."""
+        (LinearElasticity.cc:363-445).
+
+        Runs as TWO programs (solve, then objective): the fused
+        single-program version (_step_impl, used by the SPMD/fused-step
+        paths) adds the (nelem, 24) objective gather on top of the
+        solver's peak buffers and OOMs one chip at 256^3."""
         if u0 is None:
             u0 = jnp.zeros_like(self.RHS)
-        return self._step(xPhys, u0, self.RHS, self.mg.mask_args())
+        res = self._solve(xPhys, u0, self.RHS, self.mg.mask_args())
+        fx, gx, dfdx, dgdx = self._objective(
+            xPhys.astype(self.dtype), res.x
+        )
+        return PhysicsResult(
+            u=res.x, iters=res.iters, relres=res.relres,
+            fx=fx, gx=gx, dfdx=dfdx, dgdx=dgdx,
+        )
 
     def compute_objective_constraints(self, xPhys, u0=None):
         """Split variant (LinearElasticity.cc:225-297)."""
