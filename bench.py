@@ -151,7 +151,7 @@ def main():
     # --- primary: SpMV nnz/s at 256^3 (fallback 128^3) ---
     for ne in (256, 128):
         try:
-            with stage_timeout(420):
+            with stage_timeout(560):
                 dt, grid = bench_spmv(ne)
             break
         except (StageTimeout, Exception) as e:  # noqa: BLE001
