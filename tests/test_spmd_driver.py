@@ -62,6 +62,29 @@ def test_spmd_driver_restart(tmp_path):
     assert len(h["fx"]) <= 2
 
 
+def test_spmd_driver_pde_filter_matches_single_device(tmp_path):
+    """Helmholtz PDE filter (type 2) fused into the SPMD step vs the
+    single-device Driver trajectory."""
+    common = dict(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=3, filter=2,
+        dtype="float64", output_cadence_vtu=False, restart=False,
+    )
+    cfg1 = TopOptConfig(workdir=str(tmp_path / "a"), **common)
+    cfg1.validate()
+    h1 = Driver(cfg1).run()
+
+    cfg2 = TopOptConfig(
+        workdir=str(tmp_path / "b"), mesh_shape=(2, 2, 2), **common
+    )
+    cfg2.validate()
+    h2 = run_topopt(cfg2)
+
+    assert len(h2["fx"]) == len(h1["fx"])
+    np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
+    np.testing.assert_allclose(h2["gx"], h1["gx"], atol=1e-7)
+    np.testing.assert_allclose(h2["ch"], h1["ch"], atol=1e-6)
+
+
 def test_spmd_driver_projection(tmp_path):
     """Projection + beta continuation through the SPMD driver."""
     from topopt_in_petsc_tpu.parallel.spmd_driver import SpmdDriver

@@ -6,10 +6,9 @@ the host only advances the loop, logs, and handles VTU/restart cadences
 on gathered global arrays.  Selected by the CLI when -mesh_shape is not
 1,1,1 (driver.run_topopt).
 
-Current scope: convolution filters (type 0/1) with optional Heaviside
-projection + beta continuation; the PDE filter (type 2) composes
-SpmdElasticity + SpmdPDEFilter and currently runs through the
-single-device Driver.
+Covers all filter types: convolution filters (0/1), the Helmholtz PDE
+filter (2, SpmdPDEFilter solves fused into the same program), and
+passthrough, each with optional Heaviside projection + beta continuation.
 """
 
 from __future__ import annotations
@@ -34,11 +33,6 @@ from topopt_in_petsc_tpu.parallel.spmd_model import (
 class SpmdDriver:
     def __init__(self, cfg: TopOptConfig):
         cfg.validate()
-        if cfg.filter not in (0, 1):
-            raise NotImplementedError(
-                "SPMD driver currently supports filter types 0/1; use "
-                "mesh_shape=(1,1,1) for the PDE filter"
-            )
         self.cfg = cfg
         print(cfg.banner())
         self.step, self.state, self.engine = make_spmd_fused_step(cfg)
@@ -160,6 +154,12 @@ class SpmdDriver:
                     self.state = self.state._replace(
                         beta=_jnp.asarray(beta, self.engine.dtype)
                     )
+            if self.cfg.filter == 2 and float(s.pde_viol) > 1e-4:
+                # bound-violation warning (Filter.cc:82-97)
+                print(
+                    "BOUND VIOLATION IN PDEFILTER - INCREASE RMIN OR "
+                    f"MESH RESOLUTION: xPhys = {float(s.pde_viol):f}"
+                )
             print(
                 f"State solver:  iter: {int(s.solver_iters)}, "
                 f"rerr.: {float(s.solver_relres):e}, time: {t2 - t1:f}"

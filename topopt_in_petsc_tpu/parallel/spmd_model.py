@@ -214,6 +214,10 @@ class SpmdOptState(NamedTuple):
     mnd: jax.Array
     solver_iters: jax.Array
     solver_relres: jax.Array
+    u_pde: jax.Array  # PDE-filter warm start (PDEFilter.cc:285); dummy
+    # (1,1,1)-block zeros when filter != 2
+    pde_viol: jax.Array  # max bound violation of the last PDE-filter
+    # apply (Filter.cc:82-97); 0 when filter != 2
 
 
 def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
@@ -228,49 +232,58 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     mesh = engine.mesh
     mesh_shape = engine.mesh_shape
 
-    # density/sensitivity filter: conv kernel + SPMD Hs (ghost-filled
-    # conv of ones); projection handled with the traced beta in the state
-    if cfg.filter not in (0, 1):
-        raise NotImplementedError(
-            "SPMD fused step supports filter types 0/1; compose "
-            "SpmdElasticity + SpmdPDEFilter for the PDE filter"
+    # regularization: conv kernel + SPMD Hs for types 0/1 (ghost-filled
+    # conv of ones), SpmdPDEFilter solves for type 2, passthrough else;
+    # projection handled with the traced beta in the state
+    conv_local = None
+    pdef = None
+    if cfg.filter in (0, 1):
+        s = filter_stencil_halfwidth(
+            cfg.rmin, engine.grid.h, engine.grid.nn
         )
-    s = filter_stencil_halfwidth(cfg.rmin, engine.grid.h, engine.grid.nn)
-    exl = decomp.local_ne(0)
-    if any(s > e for e in exl):
-        raise ValueError(
-            f"filter stencil halfwidth {s} exceeds local block {exl}; "
-            "use the PDE filter or a larger block"
+        exl = decomp.local_ne(0)
+        if any(s > e for e in exl):
+            raise ValueError(
+                f"filter stencil halfwidth {s} exceeds local block "
+                f"{exl}; use the PDE filter or a larger block"
+            )
+        kernel_np = build_filter_kernel(cfg.rmin, engine.grid.h, s)
+        kernel = jnp.asarray(kernel_np, dt)
+        from topopt_in_petsc_tpu.ops.conv_filter import (
+            FFT_TAP_THRESHOLD,
+            make_fft_conv,
         )
-    kernel_np = build_filter_kernel(cfg.rmin, engine.grid.h, s)
-    kernel = jnp.asarray(kernel_np, dt)
-    from topopt_in_petsc_tpu.ops.conv_filter import (
-        FFT_TAP_THRESHOLD,
-        make_fft_conv,
-    )
 
-    fft_conv_valid = None
-    if (2 * s + 1) ** 3 > FFT_TAP_THRESHOLD:
-        ghosted_shape = tuple(e + 2 * s for e in decomp.local_ne(0))
-        fft_conv_valid = make_fft_conv(
-            ghosted_shape, kernel_np, dt, crop_offset=s
+        fft_conv_valid = None
+        if (2 * s + 1) ** 3 > FFT_TAP_THRESHOLD:
+            ghosted_shape = tuple(e + 2 * s for e in decomp.local_ne(0))
+            fft_conv_valid = make_fft_conv(
+                ghosted_shape, kernel_np, dt, crop_offset=s
+            )
+
+        def conv_local(x):
+            g = ghost_fill_elem(x, s, mesh_shape)
+            if fft_conv_valid is not None:
+                return fft_conv_valid(g)
+            out = lax.conv_general_dilated(
+                g[None, None], kernel[None, None], (1, 1, 1), "VALID",
+                dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            )
+            return out[0, 0]
+
+    elif cfg.filter == 2:
+        from topopt_in_petsc_tpu.parallel.spmd_pde_filter import (
+            SpmdPDEFilter,
         )
+
+        pdef = SpmdPDEFilter(cfg, decomp, mesh)
+
     from topopt_in_petsc_tpu.opt.filters import (
         smooth_projection,
         smooth_projection_chainrule,
     )
     projection = bool(cfg.projectionFilter)
     eta = jnp.asarray(cfg.eta, dt)
-
-    def conv_local(x):
-        g = ghost_fill_elem(x, s, mesh_shape)
-        if fft_conv_valid is not None:
-            return fft_conv_valid(g)
-        out = lax.conv_general_dilated(
-            g[None, None], kernel[None, None], (1, 1, 1), "VALID",
-            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-        )
-        return out[0, 0]
 
     mma = MMA(
         engine.grid.nelem, cfg.m, decomp.local_ne(0), dt,
@@ -283,21 +296,23 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     )
 
     env_spec = _spec_like(engine.env_blk, BLK)
+    pde_env_blk = pdef.env_blk if pdef is not None else {}
+    pde_env_spec = _spec_like(pde_env_blk, BLK)
     state_spec = SpmdOptState(
         x=BLK, xTilde=BLK, xPhys=BLK, u=BLK, L=BLK, U=BLK, xo1=BLK,
         xo2=BLK, fscale=REP, beta=REP, fx=REP, gx=REP, ch=REP, mnd=REP,
-        solver_iters=REP, solver_relres=REP,
+        solver_iters=REP, solver_relres=REP, u_pde=BLK, pde_viol=REP,
     )
 
     def make_step(first_iter: bool, fresh_asymptotes: bool):
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(state_spec, BLK, env_spec),
+            in_specs=(state_spec, BLK, env_spec, pde_env_spec),
             out_specs=state_spec,
             check_vma=False,
         )
-        def step(state: SpmdOptState, rhs_blk, env_blk):
+        def step(state: SpmdOptState, rhs_blk, env_blk, pde_env_blk):
             s_loc = SpmdOptState(
                 *[
                     peel(v) if spec is BLK else v
@@ -313,7 +328,24 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             # objective auto-scale at the first iteration (main.cc:68-73)
             fscale = 10.0 / fx if first_iter else s_loc.fscale
             dfdx = dfdx * fscale
-            Hs = conv_local(jnp.ones_like(s_loc.x))
+
+            u_pde = s_loc.u_pde
+            pde_viol = jnp.asarray(0.0, dt)
+            if pdef is not None:
+                pde_env = jax.tree_util.tree_map(peel, pde_env_blk)
+                pde_env = pdef._setup_local(pde_env, s_loc.x.shape)
+
+                def pde_apply(field, u0):
+                    xt, unew, _, _ = pdef._solve_prepared(
+                        field, u0, pde_env
+                    )
+                    return xt, unew
+
+            Hs = (
+                conv_local(jnp.ones_like(s_loc.x))
+                if conv_local is not None
+                else None
+            )
             if projection:
                 dproj = smooth_projection_chainrule(
                     s_loc.xTilde, s_loc.beta, eta
@@ -323,11 +355,22 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             if cfg.filter == 0:
                 # sensitivity filter (Filter.cc:167-177)
                 dfdx = conv_local(dfdx * s_loc.x) / Hs / s_loc.x
-            else:
+            elif cfg.filter == 1:
                 dfdx = conv_local(dfdx / Hs)
                 dgdx = jnp.stack(
                     [conv_local(dgdx[j] / Hs) for j in range(cfg.m)]
                 )
+            elif cfg.filter == 2:
+                # PDE filter is self-adjoint: gradients are filtered by
+                # the same Helmholtz solve (Filter.cc:193-200,
+                # PDEFilter.cc:218); one warm-start vector is threaded
+                # through all solves like the reference's single U
+                dfdx, u_pde = pde_apply(dfdx, u_pde)
+                rows = []
+                for j in range(cfg.m):
+                    row, u_pde = pde_apply(dgdx[j], u_pde)
+                    rows.append(row)
+                dgdx = jnp.stack(rows)
             xmin, xmax = mma._movelimit_impl(
                 s_loc.x,
                 jnp.asarray(cfg.Xmin, dt),
@@ -342,6 +385,14 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             ch = pmax_scalar(jnp.max(jnp.abs(x_new - s_loc.x)))
             if cfg.filter == 1:
                 xTilde = conv_local(x_new) / Hs
+            elif cfg.filter == 2:
+                xt_raw, u_pde = pde_apply(x_new, u_pde)
+                # bound-violation clip (Filter.cc:76-101); the max
+                # violation is reported for the host to warn on
+                pde_viol = pmax_scalar(
+                    jnp.maximum(jnp.max(-xt_raw), jnp.max(xt_raw - 1.0))
+                ).astype(dt)
+                xTilde = jnp.clip(xt_raw, 0.0, 1.0)
             else:
                 xTilde = x_new
             if projection:
@@ -357,7 +408,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
                 xo1=s_loc.x, xo2=s_loc.xo1, fscale=fscale,
                 beta=s_loc.beta, fx=fx,
                 gx=gx, ch=ch, mnd=mnd, solver_iters=iters,
-                solver_relres=relres,
+                solver_relres=relres, u_pde=u_pde, pde_viol=pde_viol,
             )
             return SpmdOptState(
                 *[
@@ -380,7 +431,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     def step_jit(st: SpmdOptState, itr: int = 3):
         key = (itr == 1, itr <= 2)
         fn = _steps[key if key in _steps else (False, False)]
-        return fn(st, engine.rhs_blk, engine.env_blk)
+        return fn(st, engine.rhs_blk, engine.env_blk, pde_env_blk)
 
     # initial state
     np_dt = np.float64 if cfg.dtype == "float64" else np.float32
@@ -394,6 +445,13 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         if projection
         else x0
     )
+    if pdef is not None:
+        u_pde0 = pdef.u_blk
+    else:
+        mx, my, mz = mesh_shape
+        u_pde0 = engine._put_blk(
+            np.zeros((mx, my, mz, 1, 1, 1, 1), np_dt)
+        )
     init = SpmdOptState(
         x=x0,
         xTilde=x0,
@@ -411,5 +469,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         mnd=jnp.asarray(1.0, dt),
         solver_iters=jnp.asarray(0, jnp.int32),
         solver_relres=jnp.asarray(1.0, dt),
+        u_pde=u_pde0,
+        pde_viol=jnp.asarray(0.0, dt),
     )
     return step_jit, init, engine

@@ -105,10 +105,19 @@ class SpmdPDEFilter:
     def _Tt_apply(self, u):
         return gather_element_dofs(u).mean(axis=-1)
 
+    def _setup_local(self, env, elem_shape):
+        """One-time (per program) MG setup: the Helmholtz operator is
+        density-independent, so the env is prepared with unit densities
+        and shared across all solves of an optimization step."""
+        ones = jnp.ones(elem_shape, self.dtype)
+        return self.mg.setup(env, ones)
+
     def _solve_local(self, x, u0, env):
+        env = self._setup_local(env, x.shape)
+        return self._solve_prepared(x, u0, env)
+
+    def _solve_prepared(self, x, u0, env):
         cfg = self.cfg
-        ones = jnp.ones(x.shape, self.dtype)
-        env = self.mg.setup(env, ones)
         rhs = self._T_apply(x.astype(self.dtype))
         A = partial(self.mg.apply, 0, env)
         M = lambda r: self.mg.vcycle(env, r)
