@@ -98,6 +98,19 @@ class LinearElasticity:
         for l in range(cfg.nlvls):
             masks.append(m)
             m = m[::2, ::2, ::2]
+        # optional Pallas fine-level operator (cfg.operator_impl):
+        # used for the outer CG matvec AND the fine level inside the
+        # V-cycle (the smoothing sweeps dominate solve time)
+        self._pallas_apply = None
+        if cfg.operator_impl == "pallas":
+            from topopt_in_petsc_tpu.ops.pallas_hex import (
+                make_pallas_hex_apply,
+            )
+
+            self._pallas_apply = make_pallas_hex_apply(
+                self.grid.nn, np.asarray(self.KE)
+            )
+
         self.mg = GeometricMultigrid(
             grids,
             KEs,
@@ -115,18 +128,8 @@ class LinearElasticity:
             precond_dtype=(
                 jnp.bfloat16 if cfg.mg_dtype == "bfloat16" else None
             ),
+            fine_apply=self._pallas_apply,
         )
-
-        # optional Pallas fine-level operator (cfg.operator_impl)
-        self._pallas_apply = None
-        if cfg.operator_impl == "pallas":
-            from topopt_in_petsc_tpu.ops.pallas_hex import (
-                make_pallas_hex_apply,
-            )
-
-            self._pallas_apply = make_pallas_hex_apply(
-                self.grid.nn, np.asarray(self.KE)
-            )
 
         self._step = jax.jit(self._step_impl)
         self._solve = jax.jit(self._solve_impl)

@@ -5,20 +5,37 @@ materializes (nelem, 24) intermediates in HBM and keeps dof=3 on the
 128-lane minor dimension — measured ~10x off the bandwidth/VPU roofline.
 This kernel computes the node-centric form
 
-    out_i[n] = sum_{a,b} E(n - off_a) * KE[a-blk, b-blk][i, j] * u_j[n + off_b - off_a]
+    out_i[n] = sum_{a,b} E(n - oa) * KE[a, b][i, j] * u_j[n + ob - oa]
 
-entirely in VMEM: each grid step owns a disjoint (TX, TY, full-z) output
-tile, DMAs the (TX+2, TY+2, z) input window from zero-padded HBM copies
-of u and E (halo included, no edge masking), and accumulates the 64
-(a, b) corner terms as fused vector ops with z on the lane dimension.
-
-Layout contract: u enters as (3, nx, ny, nz) ("dof-major"); the public
-wrapper transposes from/to the framework's (nx, ny, nz, 3) convention
-(two cheap bandwidth passes, fused by XLA into the pad).
-
-Reference parity: this is AssembleStiffnessMatrix + MatMult
+entirely in VMEM.  Reference parity: AssembleStiffnessMatrix + MatMult
 (LinearElasticity.cc:487-549, 204) as one kernel, with SIMP scaling
 (Emin + x^p (Emax-Emin)) already folded into E by the caller.
+
+Hardware-probed backend constraints drive the whole layout (this axon
+build's Mosaic crashes the TPU *worker process* otherwise — each was
+isolated with single-feature probe kernels):
+
+  - `make_async_copy` HBM->VMEM may slice ONLY the leading dimension of
+    the source ref; sublane/lane dims must be copied at full extent.
+    (Slicing the second-minor dim faults the device at runtime.)
+  - Offset slices and `pltpu.roll` on VMEM *values* are fine; lane-dim
+    `concatenate` of offset-layout vectors is UNIMPLEMENTED (so no
+    jnp.pad of lane slices inside the kernel).
+
+Layout that satisfies them: tile the grid over x-slabs only; flatten
+(y, z) onto the 128-lane axis as l = (y+1)*ZPc + (z+1) with ZPc = nz+2
+(one halo plane each side, <1% lane padding).  Then
+
+  - the slab DMA is a leading-dim slice (full lanes),
+  - x-offsets (element corner a vs b) are sublane slices,
+  - y/z-offsets are single lane-rolls by dy*ZPc + dz, whose wrap-around
+    garbage provably lands only in the halo lanes (|shift| <= ZPc+1 and
+    the valid region starts at lane ZPc+1),
+  - boundary truncation comes from the zero halo padding, no masking.
+
+The 64 (a, b) corner-pair terms are grouped by the node offset
+d = ob - oa so each (dy, dz) needs one roll per displacement component
+(27 rolls of u total) and each (ay, az) one roll of E (16 total).
 """
 
 from __future__ import annotations
@@ -34,70 +51,79 @@ from jax.experimental.pallas import tpu as pltpu
 
 from topopt_in_petsc_tpu.grid import CORNER_OFFSETS
 
+_CIDX = {off: i for i, off in enumerate(CORNER_OFFSETS)}
+# 1D corner pairs (a, b) grouped by their offset difference d = b - a
+_PAIRS_1D = {-1: [(1, 0)], 0: [(0, 0), (1, 1)], 1: [(0, 1)]}
 
-def _kernel(up_hbm, ep_hbm, out_ref, ubuf, ebuf, sems,
-            *, TX: int, TY: int, nz: int, keb: np.ndarray, pairs=None):
-    """One (TX, TY, nz) output tile; up/ep stay in HBM (ANY) and the
-    needed halo windows are DMA'd in.
 
-    Mosaic constraints honored (this build crashes otherwise): DMAs copy
-    FULL lane extents only, and every VMEM scratch has a 128-multiple
-    lane dim — so the staging arrays are lane-padded on the host and the
-    compute reads odd-sized lane slices out of aligned buffers.
-    """
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+def _kernel(u0, u1, u2, e_hbm, out_ref, ub0, ub1, ub2, eb, sems,
+            *, TX: int, Lp: int, ZPc: int, keb: np.ndarray,
+            row_pitch: int):
+    """One (3, TX, Lp) output slab; u/E stay in HBM (ANY) as
+    (YB*row_pitch, Lp) y-chunk-blocked arrays and the x-slab windows
+    (full lane extent!) are DMA'd in."""
+    j = pl.program_id(0)  # y chunk
+    i = pl.program_id(1)  # x slab
 
-    u_dma = pltpu.make_async_copy(
-        up_hbm.at[:, pl.ds(i * TX, TX + 2), pl.ds(j * TY, TY + 2), :],
-        ubuf,
-        sems.at[0],
+    # DMA slices on the (sublane) leading dim must be 8-aligned in
+    # offset AND extent on this backend: copy TX+8 rows (6 rows of
+    # slack beyond the +2 halo) so both are multiples of 8.
+    # (row_pitch = XP is a multiple of 8 by construction.)
+    # pin to i32: under jax_enable_x64 the Python-int multiply promotes
+    # to i64, which tpu.memref_slice rejects
+    row0 = (
+        j.astype(jnp.int32) * np.int32(row_pitch)
+        + i.astype(jnp.int32) * np.int32(TX)
     )
-    e_dma = pltpu.make_async_copy(
-        ep_hbm.at[pl.ds(i * TX, TX + 1), pl.ds(j * TY, TY + 1), :],
-        ebuf,
-        sems.at[1],
+    dmas = []
+    for r, (src, dst) in enumerate(((u0, ub0), (u1, ub1), (u2, ub2))):
+        d = pltpu.make_async_copy(
+            src.at[pl.ds(row0, TX + 8), :], dst, sems.at[np.int32(r)]
+        )
+        d.start()
+        dmas.append(d)
+    de = pltpu.make_async_copy(
+        e_hbm.at[pl.ds(row0, TX + 8), :], eb, sems.at[np.int32(3)]
     )
-    u_dma.start()
-    e_dma.start()
-    u_dma.wait()
-    e_dma.wait()
+    de.start()
+    for d in dmas:
+        d.wait()
+    de.wait()
 
-    if pairs is None:
-        pairs = [(a, b) for a in range(8) for b in range(8)]
-    acc = [jnp.zeros((TX, TY, nz), jnp.float32) for _ in range(3)]
-    last_a = None
-    Ea = None
-    for a, b in pairs:
-        oa = CORNER_OFFSETS[a]
-        ob = CORNER_OFFSETS[b]
-        if a != last_a:
-            # E placed at corner a: for out nodes [x0, x0+TX), element
-            # index n - oa -> padded-E window offset (1 - oa)
-            Ea = ebuf[
-                pl.ds(1 - oa[0], TX),
-                pl.ds(1 - oa[1], TY),
-                pl.ds(1 - oa[2], nz),
-            ]
-            last_a = a
-        if True:
-            dx, dy, dz = ob[0] - oa[0], ob[1] - oa[1], ob[2] - oa[2]
-            us = [
-                ubuf[
-                    c,
-                    pl.ds(1 + dx, TX),
-                    pl.ds(1 + dy, TY),
-                    pl.ds(1 + dz, nz),
-                ]
+    uv = [ub0[:, :], ub1[:, :], ub2[:, :]]  # (TX+8, Lp) values
+    ev = eb[:, :]  # (TX+8, Lp)
+
+    acc = [jnp.zeros((TX, Lp), jnp.float32) for _ in range(3)]
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            # u_j(.. y+dy, z+dz) aligned at the out lanes: one lane-roll
+            # per component, then one sublane slice per dx below
+            # pltpu.roll requires non-negative shifts; roll is cyclic
+            # over the Lp lanes so reduce mod Lp
+            ur = [
+                pltpu.roll(uv[c], np.int32((-(dy * ZPc + dz)) % Lp), 1)
                 for c in range(3)
             ]
-            for ii in range(3):
-                k0 = float(keb[a, b, ii, 0])
-                k1 = float(keb[a, b, ii, 1])
-                k2 = float(keb[a, b, ii, 2])
-                acc[ii] = acc[ii] + Ea * (
-                    k0 * us[0] + k1 * us[1] + k2 * us[2]
-                )
+            us = {
+                dx: [ur[c][dx + 1 : dx + 1 + TX, :] for c in range(3)]
+                for dx in (-1, 0, 1)
+            }
+            for ay, by in _PAIRS_1D[dy]:
+                for az, bz in _PAIRS_1D[dz]:
+                    # E(.. y-ay, z-az) aligned at the out lanes
+                    Ea = pltpu.roll(ev, np.int32((ay * ZPc + az) % Lp), 1)
+                    for ax, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                        a = _CIDX[(ax, ay, az)]
+                        b = _CIDX[(bx, by, bz)]
+                        Eas = Ea[1 - ax : 1 - ax + TX, :]
+                        u_s = us[bx - ax]
+                        for ii in range(3):
+                            k0 = float(keb[a, b, ii, 0])
+                            k1 = float(keb[a, b, ii, 1])
+                            k2 = float(keb[a, b, ii, 2])
+                            acc[ii] = acc[ii] + Eas * (
+                                k0 * u_s[0] + k1 * u_s[1] + k2 * u_s[2]
+                            )
     out_ref[:] = jnp.stack(acc, axis=0)
 
 
@@ -105,82 +131,106 @@ def make_pallas_hex_apply(
     nn: Tuple[int, int, int],
     KE: np.ndarray,
     *,
-    tile: Tuple[int, int] = (8, 8),
+    tx: int = 8,
+    yc: int | None = None,
+    lane_budget: int = 20480,
     interpret: bool = False,
-    split: int = 1,
 ):
     """Build `apply(u, E) -> K@u` for a fixed grid size.
 
-    u: (nx, ny, nz, 3); E: (ex, ey, ez); both f32.  KE: (24, 24) static.
+    u: (nx, ny, nz, 3); E: (ex, ey, ez) with SIMP scaling folded in.
+    KE: (24, 24) static element matrix.  Output matches
+    ops.hex_operator.apply_hex_operator (free/Neumann everywhere; the
+    caller applies Dirichlet masks outside).
+
+    Large grids are additionally chunked along y (`yc` rows per chunk,
+    auto-sized so each tile's flattened lane extent stays within
+    `lane_budget` and hence within VMEM): the host pre-blocks u/E into a
+    (YB*XP, Lcp) layout with duplicated one-row y-halos so the kernel's
+    DMA remains a pure leading-dim slice.
     """
     nx, ny, nz = nn
     ex, ey, ez = nx - 1, ny - 1, nz - 1
-    TX, TY = tile
+    TX = tx
     gx = -(-nx // TX)
-    gy = -(-ny // TY)
     keb = np.asarray(KE, np.float32).reshape(8, 3, 8, 3).transpose(
         0, 2, 1, 3
     )
 
-    # padded HBM shapes: u (3, gx*TX+2, gy*TY+2, ZP); E one less + pad;
-    # lane (z) dim padded to a 128 multiple (full-lane DMA requirement)
-    upx, upy = gx * TX + 2, gy * TY + 2
-    ZP = -(-(nz + 2) // 128) * 128
+    ZPc = nz + 2
+    if yc is None:
+        yc = max(4, lane_budget // ZPc - 2)
+    yc = min(yc, ny)
+    YB = -(-ny // yc)
+    YPb = YB * yc + 2  # padded y extent covering all chunk windows
+    Lc = (yc + 2) * ZPc
+    Lcp = -(-Lc // 128) * 128
+    XP = gx * TX + 8  # slab rows (halo + DMA 8-alignment slack)
 
-    all_pairs = [(a, b) for a in range(8) for b in range(8)]
-    chunks = [
-        all_pairs[i :: split] for i in range(split)
-    ] if split > 1 else [all_pairs]
+    kern = functools.partial(
+        _kernel, TX=TX, Lp=Lcp, ZPc=ZPc, keb=keb, row_pitch=XP
+    )
+    call = pl.pallas_call(
+        kern,
+        grid=(YB, gx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=pl.BlockSpec(
+            (3, TX, Lcp),
+            # np.int32 constants: under jax_enable_x64 plain-int index
+            # map components trace as i64 and Mosaic can't legalize the
+            # mixed-type func.return
+            lambda j, i: (np.int32(0), j * gx + i, np.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (3, YB * gx * TX, Lcp), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        # the default 16M *scoped* vmem limit is far below the physical
+        # 128M; the unrolled 64-term body keeps several rolled slabs
+        # live at once
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
 
-    calls = []
-    for pairs in chunks:
-        kern = functools.partial(
-            _kernel, TX=TX, TY=TY, nz=nz, keb=keb,
-            pairs=sorted(pairs),
-        )
-        calls.append(
-            pl.pallas_call(
-                kern,
-                grid=(gx, gy),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec(memory_space=pl.ANY),
-                ],
-                out_specs=pl.BlockSpec(
-                    (3, TX, TY, nz),
-                    lambda i, j: (0, i, j, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct(
-                    (3, gx * TX, gy * TY, nz), jnp.float32
-                ),
-                scratch_shapes=[
-                    pltpu.VMEM((3, TX + 2, TY + 2, ZP), jnp.float32),
-                    pltpu.VMEM((TX + 1, TY + 1, ZP), jnp.float32),
-                    pltpu.SemaphoreType.DMA((2,)),
-                ],
-                interpret=interpret,
-            )
-        )
+    def _block(arr_pad):
+        """(XP, YPb, ZPc) -> (YB*XP, Lcp): stack overlapping y-windows
+        (one halo row each side, duplicated across chunks)."""
+        w = jnp.stack(
+            [arr_pad[:, j * yc : j * yc + yc + 2, :] for j in range(YB)],
+            axis=0,
+        ).reshape(YB * XP, Lc)
+        return jnp.pad(w, ((0, 0), (0, Lcp - Lc)))
 
     def apply(u: jax.Array, E: jax.Array) -> jax.Array:
-        # to dof-major, zero-pad one halo cell + tile round-up; z (lane)
-        # padded to ZP
         ut = jnp.transpose(u.astype(jnp.float32), (3, 0, 1, 2))
         up = jnp.pad(
             ut,
-            ((0, 0), (1, upx - nx - 1), (1, upy - ny - 1),
-             (1, ZP - nz - 1)),
+            ((0, 0), (1, XP - nx - 1), (1, YPb - ny - 1),
+             (1, ZPc - nz - 1)),
         )
-        epad = jnp.pad(
+        ep = jnp.pad(
             E.astype(jnp.float32),
-            ((1, upx - 1 - ex - 1), (1, upy - 1 - ey - 1),
-             (1, ZP - ez - 1)),
+            ((1, XP - ex - 1), (1, YPb - ey - 1), (1, ZPc - ez - 1)),
         )
-        out = calls[0](up, epad)
-        for extra in calls[1:]:
-            out = out + extra(up, epad)
-        out = out[:, :nx, :ny, :]
+        out = call(
+            _block(up[0]), _block(up[1]), _block(up[2]), _block(ep)
+        )
+        out = out.reshape(3, YB, gx * TX, Lcp)[:, :, :nx, :Lc]
+        out = out.reshape(3, YB, nx, yc + 2, ZPc)[
+            :, :, :, 1 : 1 + yc, 1 : 1 + nz
+        ]
+        out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
+            3, nx, YB * yc, nz
+        )[:, :, :ny, :]
         return jnp.transpose(out, (1, 2, 3, 0)).astype(u.dtype)
 
     return apply

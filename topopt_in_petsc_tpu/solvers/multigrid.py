@@ -147,6 +147,7 @@ class GeometricMultigrid:
         precise_dots: bool = True,
         coarse_op: str = "rediscretize",
         precond_dtype=None,
+        fine_apply=None,
     ):
         # precond_dtype: run the whole V-cycle in a lower precision
         # (bf16): the preconditioner only steers CG, so its rounding
@@ -191,10 +192,15 @@ class GeometricMultigrid:
         self.coarse_rtol = coarse_rtol
         self.coarse_maxit = coarse_maxit
         self.precise_dots = precise_dots
+        # optional fused fine-level K@u (the Pallas kernel,
+        # ops/pallas_hex.py): apply(v, coef) -> K v with free BCs
+        self.fine_apply = fine_apply
 
     # -- per-level masked operator ------------------------------------ #
 
     def _raw_apply(self, level: int, coef: jax.Array, v: jax.Array):
+        if level == 0 and self.fine_apply is not None:
+            return self.fine_apply(v, coef)
         if level == 0 or self.coarse_op != "galerkin_octant":
             return apply_hex_operator(v, coef, self.KEs[level])
         return apply_hex_operator_octant(v, coef, self.KEps[level])
