@@ -60,23 +60,32 @@ def stage_timeout(seconds: int):
         signal.signal(signal.SIGALRM, old)
 
 
+def _sync(out):
+    """Force completion via a scalar readback: on this axon backend
+    `block_until_ready` does NOT synchronize pallas-containing programs
+    (measured: a 200 ms kernel reads as 0.1 ms)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0])
+
+
 def _time_fn(fn, *args, reps=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
-def bench_spmv(nelem_axis: int) -> float:
+def bench_spmv(nelem_axis: int, impl: str = "pallas") -> float:
     """Masked K@u at nelem_axis^3 elements; returns seconds per matvec."""
     from topopt_in_petsc_tpu.grid import Grid
     from topopt_in_petsc_tpu.models.elasticity import build_cantilever_bc
     from topopt_in_petsc_tpu.models.elements import hex8_stiffness
     from topopt_in_petsc_tpu.ops.hex_operator import apply_hex_operator
+    from topopt_in_petsc_tpu.ops.pallas_hex import make_pallas_hex_apply
 
     n = nelem_axis + 1
     grid = Grid(nn=(n, n, n), lo=(0, 0, 0), hi=(2, 1, 1))
@@ -92,10 +101,20 @@ def bench_spmv(nelem_axis: int) -> float:
         jax.random.PRNGKey(1), (*grid.nn, 3), dtype=jnp.float32
     )
 
-    @jax.jit
-    def A(v, E, N):
-        Kv = apply_hex_operator(N * v, E, KE)
-        return N * Kv + (1.0 - N) * v
+    if impl == "pallas":
+        pal = make_pallas_hex_apply(grid.nn, np.asarray(KE))
+
+        @jax.jit
+        def A(v, E, N):
+            Kv = pal(N * v, E)
+            return N * Kv + (1.0 - N) * v
+
+    else:
+
+        @jax.jit
+        def A(v, E, N):
+            Kv = apply_hex_operator(N * v, E, KE)
+            return N * Kv + (1.0 - N) * v
 
     dt = _time_fn(A, u, E, N)
     return dt, grid
@@ -109,7 +128,7 @@ def bench_solve(nelem_axis: int):
     n = nelem_axis + 1
     cfg = TopOptConfig(
         nx=n, ny=n, nz=n, nlvls=4, dtype="float32",
-        precise_dots=False, ksp_maxit=200,
+        precise_dots=False, ksp_maxit=200, operator_impl="pallas",
     )
     cfg.validate()
     phys = LinearElasticity(cfg)
@@ -117,10 +136,10 @@ def bench_solve(nelem_axis: int):
     u0 = jnp.zeros((*phys.grid.nn, 3), jnp.float32)
 
     res = phys.solve_state(x, u0)  # compile + first solve
-    jax.block_until_ready(res.x)
+    _sync(res.x)
     t0 = time.perf_counter()
     res = phys.solve_state(x, u0)
-    jax.block_until_ready(res.x)
+    _sync(res.x)
     dt = time.perf_counter() - t0
     return dt, int(res.iters), float(res.relres), cfg
 
@@ -133,14 +152,14 @@ def bench_opt_iter(nelem_axis: int):
     n = nelem_axis + 1
     cfg = TopOptConfig(
         nx=n, ny=n, nz=n, nlvls=4, dtype="float32",
-        precise_dots=False, ksp_maxit=200,
+        precise_dots=False, ksp_maxit=200, operator_impl="pallas",
     )
     step, state = make_fused_step(cfg)
     s = step(state)  # compile + iteration 1
-    jax.block_until_ready(s.x)
+    _sync(s.x)
     t0 = time.perf_counter()
     s2 = step(s)
-    jax.block_until_ready(s2.x)
+    _sync(s2.x)
     return time.perf_counter() - t0, s2
 
 
@@ -148,14 +167,17 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    # --- primary: SpMV nnz/s at 256^3 (fallback 128^3) ---
-    for ne in (256, 128):
+    # --- primary: SpMV nnz/s at 256^3, pallas kernel (fallbacks:
+    # xla form, then 128^3) ---
+    for ne, impl in ((256, "pallas"), (256, "xla"), (128, "pallas"),
+                     (128, "xla")):
         try:
             with stage_timeout(560):
-                dt, grid = bench_spmv(ne)
+                dt, grid = bench_spmv(ne, impl)
+            log(f"spmv impl={impl}")
             break
         except (StageTimeout, Exception) as e:  # noqa: BLE001
-            log(f"spmv@{ne}^3 failed: {type(e).__name__}: {e}")
+            log(f"spmv@{ne}^3[{impl}] failed: {type(e).__name__}: {e}")
     ndof = 3 * grid.nnode
     nnz_eff = 27 * 9 * ndof
     nnz_s = nnz_eff / dt
