@@ -80,7 +80,12 @@ def test_pallas_fine_apply_in_multigrid():
     r1 = fe_x.solve_state(x)
     r2 = fe_p.solve_state(x)
     # two different f32 summation orders through an iterative solve:
-    # compare to solver tolerance, not bitwise
+    # both converge to ksp_rtol=1e-5 of ||b||, so compare at the
+    # corresponding solution scale, not bitwise
+    assert float(r1.relres) < cfg.ksp_rtol
+    assert float(r2.relres) < cfg2.ksp_rtol
+    scale = float(np.max(np.abs(np.asarray(r1.x))))
     np.testing.assert_allclose(
-        np.asarray(r2.x), np.asarray(r1.x), rtol=2e-4, atol=2e-5
+        np.asarray(r2.x), np.asarray(r1.x), rtol=1e-3,
+        atol=1e-3 * scale,
     )

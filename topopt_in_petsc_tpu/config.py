@@ -87,7 +87,9 @@ class TopOptConfig:
 
     # --- TPU-native knobs (no reference equivalent) ---
     dtype: str = "float32"  # field dtype: "float32" | "float64"
-    operator_impl: str = "xla"  # fine-level K@u: "xla" | "pallas"
+    # fine-level K@u: "auto" (Pallas kernel on TPU, XLA elsewhere),
+    # "xla", or "pallas"
+    operator_impl: str = "auto"
     mg_dtype: str = "same"  # V-cycle precision: "same" | "bfloat16"
     # (pallas: fused VMEM kernel, experimental on this environment's
     # remote Mosaic compiler — see ops/pallas_hex.py)

@@ -100,9 +100,18 @@ class LinearElasticity:
             m = m[::2, ::2, ::2]
         # optional Pallas fine-level operator (cfg.operator_impl):
         # used for the outer CG matvec AND the fine level inside the
-        # V-cycle (the smoothing sweeps dominate solve time)
+        # V-cycle (the smoothing sweeps dominate solve time).
+        # "auto" = pallas on TPU (3-6x measured), xla elsewhere (the
+        # kernel has no CPU/GPU lowering outside interpret mode).
+        impl = cfg.operator_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if jax.devices()[0].platform == "tpu"
+                else "xla"
+            )
         self._pallas_apply = None
-        if cfg.operator_impl == "pallas":
+        if impl == "pallas":
             from topopt_in_petsc_tpu.ops.pallas_hex import (
                 make_pallas_hex_apply,
             )

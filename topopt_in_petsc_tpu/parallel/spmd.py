@@ -133,7 +133,11 @@ def make_psum_dot(w: jax.Array, precise: bool = True) -> Callable:
     def dot(a, b):
         prod = a * b * w
         if precise and prod.dtype != jnp.float64:
-            prod = prod.astype(jnp.float64)
+            # widen inside the reduce, not as a full-size f64 copy
+            # (see solvers/cg._dot)
+            return lax.psum(
+                jnp.sum(prod, dtype=jnp.float64), AXIS_NAMES
+            )
         return lax.psum(jnp.sum(prod), AXIS_NAMES)
 
     return dot

@@ -26,12 +26,39 @@ import jax
 import jax.numpy as jnp
 
 
+_DOT_CHUNK = 131072
+
+
 def _dot(a: jax.Array, b: jax.Array, precise: bool) -> jax.Array:
-    if precise and a.dtype != jnp.float64:
-        return jnp.vdot(
-            a.astype(jnp.float64).ravel(), b.astype(jnp.float64).ravel()
-        )
-    return jnp.vdot(a.ravel(), b.ravel())
+    """Inner product with optional high-accuracy accumulation.
+
+    The 'precise' path is a chunked two-stage reduction: exact-ish f32
+    dots over 128K-element chunks (reshape views, no copies), then an
+    f64 sum over the few hundred partials.  This replaces full-vector
+    .astype(f64) casts for two measured reasons on this TPU backend:
+    (a) the f64 copies cost 2x vector storage in HBM transients, which
+    tips 257^3-under-x64 solves over the 16 GB chip (worker crash);
+    (b) wide f64 arithmetic is silently demoted on-device anyway
+    (summing 50.9M ones via an astype(f64) vdot returns an off-by-one
+    f32-grade result), so the casts bought no accuracy.
+    """
+    af, bf = a.ravel(), b.ravel()
+    if precise and af.dtype != jnp.float64:
+        n = af.size
+        m = (n // _DOT_CHUNK) * _DOT_CHUNK
+        s = jnp.zeros((), jnp.float64)
+        if m:
+            parts = jnp.einsum(
+                "ij,ij->i",
+                af[:m].reshape(-1, _DOT_CHUNK),
+                bf[:m].reshape(-1, _DOT_CHUNK),
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            s = s + jnp.sum(parts, dtype=jnp.float64)
+        if n - m:
+            s = s + jnp.vdot(af[m:], bf[m:]).astype(jnp.float64)
+        return s
+    return jnp.vdot(af, bf)
 
 
 class CGResult(NamedTuple):
