@@ -54,13 +54,17 @@ def test_sharded_physics_step_matches():
     phys = LinearElasticity(cfg)
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.uniform(0.3, 0.9, size=phys.grid.ne))
-    u0 = jnp.zeros((*phys.grid.nn, 3))
-
-    ref = phys.compute_objective_constraints_sensitivities(x, u0)
+    # the warm-start buffer is DONATED into the solution (HBM saving
+    # at 256^3+): pass a fresh buffer per call
+    ref = phys.compute_objective_constraints_sensitivities(
+        x, jnp.zeros((*phys.grid.nn, 3))
+    )
 
     mesh = make_device_mesh((2, 2, 2))
     xs = jax.device_put(x, elem_sharding(mesh))
-    us = jax.device_put(u0, node_sharding(mesh))
+    us = jax.device_put(
+        jnp.zeros((*phys.grid.nn, 3)), node_sharding(mesh)
+    )
     res = phys.compute_objective_constraints_sensitivities(xs, us)
 
     assert int(res.iters) == int(ref.iters)

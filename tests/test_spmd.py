@@ -201,3 +201,40 @@ def test_spmd_fused_step_runs():
     assert float(s2.ch) <= cfg.movlim + 1e-9
     # volume constraint moves toward feasibility
     assert float(s2.gx[0]) < float(s1.gx[0]) + 1e-6
+
+
+def test_spmd_pallas_fine_apply_matches():
+    """Pallas local fine-level operator (interpret mode) inside the
+    SPMD solve matches the XLA local operator."""
+    from topopt_in_petsc_tpu.ops.pallas_hex import make_pallas_hex_apply
+    from topopt_in_petsc_tpu.models.elements import hex8_stiffness
+
+    common = dict(
+        nx=17, ny=9, nz=9, nlvls=2, dtype="float32",
+        mesh_shape=(2, 2, 2),
+    )
+    cfg = TopOptConfig(**common)
+    cfg.validate()
+    eng = SpmdElasticity(cfg)
+    x = eng.blocked_elem(
+        np.random.default_rng(3).uniform(0.2, 0.9, eng.grid.ne)
+    )
+    u0 = eng.zeros_nodal_blk()
+    ref = eng.compute_objective_constraints_sensitivities(x, u0)
+
+    cfg2 = TopOptConfig(**common)
+    cfg2.validate()
+    eng2 = SpmdElasticity(cfg2)
+    KE0 = hex8_stiffness(*eng2.grid.hierarchy(cfg2.nlvls)[0].h, cfg2.nu)
+    eng2.mg.fine_apply = make_pallas_hex_apply(
+        eng2.decomp.local_nn(0), KE0, interpret=True
+    )
+    eng2._solve_sm = eng2._build_solve()
+    res = eng2.compute_objective_constraints_sensitivities(
+        x, eng2.zeros_nodal_blk()
+    )
+
+    assert abs(int(res[1]) - int(ref[1])) <= 1  # iters
+    np.testing.assert_allclose(
+        float(res[3]), float(ref[3]), rtol=5e-4
+    )  # fx

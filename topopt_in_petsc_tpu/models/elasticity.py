@@ -28,7 +28,7 @@ import numpy as np
 from topopt_in_petsc_tpu.grid import Grid
 from topopt_in_petsc_tpu.models.elements import hex8_stiffness
 from topopt_in_petsc_tpu.ops.hex_operator import element_quadratic_form
-from topopt_in_petsc_tpu.solvers.cg import pcg
+from topopt_in_petsc_tpu.solvers.cg import accurate_sum, pcg
 from topopt_in_petsc_tpu.solvers.multigrid import GeometricMultigrid
 
 
@@ -141,7 +141,10 @@ class LinearElasticity:
         )
 
         self._step = jax.jit(self._step_impl)
-        self._solve = jax.jit(self._solve_impl)
+        # donate the warm-start buffer into the solution (the caller
+        # replaces its reference with res.u): saves one full nodal
+        # vector of HBM, which matters at 256^3+ single-chip
+        self._solve = jax.jit(self._solve_impl, donate_argnums=(1,))
         self._objective = jax.jit(self._objective_parts)
 
     # -- SIMP interpolation (LinearElasticity.cc:519) ------------------ #
@@ -161,9 +164,10 @@ class LinearElasticity:
         levels = self.mg.setup(E, masks)
         if self._pallas_apply is not None:
             N = masks[0]
+            eb = levels[0]["fine_coef"]
 
             def A(v):
-                Kv = self._pallas_apply(N * v, E)
+                Kv = self._pallas_apply.apply_prepared(N * v, eb)
                 return N * Kv + (1.0 - N) * v
 
         else:
@@ -183,7 +187,11 @@ class LinearElasticity:
 
     def solve_state(self, xPhys, u0=None):
         """SolveState (LinearElasticity.cc:182-223): re-'assemble' (set the
-        element scale), rebuild the MG setup, solve with warm start."""
+        element scale), rebuild the MG setup, solve with warm start.
+
+        NOTE: the warm-start buffer `u0` is DONATED into the solution
+        (one nodal vector of HBM saved); it must not be used after the
+        call — keep `res.x` instead (the driver does)."""
         if u0 is None:
             u0 = jnp.zeros_like(self.RHS)
         return self._solve(xPhys, u0, self.RHS, self.mg.mask_args())
@@ -194,10 +202,11 @@ class LinearElasticity:
         cfg = self.cfg
         uKu = element_quadratic_form(u, self.KE)  # (ex, ey, ez)
         E = self.simp(xPhys)
-        acc = jnp.float64 if cfg.precise_dots else self.dtype
-        fx = jnp.sum((E * uKu).astype(acc))
+        # chunked accurate sums: no full-size f64 transients
+        # (solvers/cg.accurate_sum)
+        fx = accurate_sum(E * uKu, cfg.precise_dots)
         nelem = xPhys.size
-        gx0 = jnp.sum(xPhys.astype(acc)) / nelem - cfg.volfrac
+        gx0 = accurate_sum(xPhys, cfg.precise_dots) / nelem - cfg.volfrac
         dfdx = (
             -cfg.penal * xPhys ** (cfg.penal - 1.0) * (cfg.Emax - cfg.Emin)
         ) * uKu

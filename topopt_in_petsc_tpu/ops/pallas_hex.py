@@ -210,20 +210,31 @@ def make_pallas_hex_apply(
         ).reshape(YB * XP, Lc)
         return jnp.pad(w, ((0, 0), (0, Lcp - Lc)))
 
-    def apply(u: jax.Array, E: jax.Array) -> jax.Array:
-        ut = jnp.transpose(u.astype(jnp.float32), (3, 0, 1, 2))
-        up = jnp.pad(
-            ut,
-            ((0, 0), (1, XP - nx - 1), (1, YPb - ny - 1),
-             (1, ZPc - nz - 1)),
-        )
+    def _prep_u(u: jax.Array):
+        """Per-component pad+block: sequencing components keeps the HBM
+        transient peak at ~1 component instead of the whole (3, ...)
+        padded copy (matters at 512^3 where each is 1.7 GB)."""
+        ubs = []
+        for c in range(3):
+            uc = jnp.pad(
+                u[..., c].astype(jnp.float32),
+                ((1, XP - nx - 1), (1, YPb - ny - 1),
+                 (1, ZPc - nz - 1)),
+            )
+            ubs.append(_block(uc))
+        return ubs
+
+    def prepare_coef(E: jax.Array) -> jax.Array:
+        """Pre-block the element coefficient; constant across all
+        applies of one solve, so hoist it (GeometricMultigrid.setup)."""
         ep = jnp.pad(
             E.astype(jnp.float32),
             ((1, XP - ex - 1), (1, YPb - ey - 1), (1, ZPc - ez - 1)),
         )
-        out = call(
-            _block(up[0]), _block(up[1]), _block(up[2]), _block(ep)
-        )
+        return _block(ep)
+
+    def _run(ubs, eb, out_dtype):
+        out = call(ubs[0], ubs[1], ubs[2], eb)
         out = out.reshape(3, YB, gx * TX, Lcp)[:, :, :nx, :Lc]
         out = out.reshape(3, YB, nx, yc + 2, ZPc)[
             :, :, :, 1 : 1 + yc, 1 : 1 + nz
@@ -231,6 +242,14 @@ def make_pallas_hex_apply(
         out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(
             3, nx, YB * yc, nz
         )[:, :, :ny, :]
-        return jnp.transpose(out, (1, 2, 3, 0)).astype(u.dtype)
+        return jnp.transpose(out, (1, 2, 3, 0)).astype(out_dtype)
 
+    def apply_prepared(u: jax.Array, eb: jax.Array) -> jax.Array:
+        return _run(_prep_u(u), eb, u.dtype)
+
+    def apply(u: jax.Array, E: jax.Array) -> jax.Array:
+        return _run(_prep_u(u), prepare_coef(E), u.dtype)
+
+    apply.prepare_coef = prepare_coef
+    apply.apply_prepared = apply_prepared
     return apply

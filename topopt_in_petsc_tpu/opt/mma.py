@@ -34,7 +34,7 @@ import numpy as np
 def _rsum(x, precise: bool):
     """Reduction over all design dofs (f64 accumulate when precise)."""
     if precise and x.dtype != jnp.float64:
-        return jnp.sum(x.astype(jnp.float64))
+        return jnp.sum(x, dtype=jnp.float64)
     return jnp.sum(x)
 
 

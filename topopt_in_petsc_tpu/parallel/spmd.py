@@ -225,6 +225,7 @@ class SpmdMultigrid:
         coarse_maxit: int = 30,
         precise_dots: bool = True,
         coarse_op: str = "rediscretize",
+        fine_apply=None,
     ):
         self.decomp = decomp
         self.mesh_shape = decomp.mesh_shape
@@ -250,11 +251,17 @@ class SpmdMultigrid:
         self.coarse_rtol = coarse_rtol
         self.coarse_maxit = coarse_maxit
         self.precise = precise_dots
+        # optional fused fine-level LOCAL K@u (the Pallas kernel built
+        # for the local block shape): apply(v, coef) -> K v, free BCs;
+        # halo_accumulate completes it across blocks like the XLA form
+        self.fine_apply = fine_apply
 
     # env: per-level dicts of LOCAL arrays:
     #   mask (or None), weights w, origin offsets, and per-solve coef/dinv
 
     def _raw_apply(self, level, coef, v):
+        if level == 0 and self.fine_apply is not None:
+            return self.fine_apply(v, coef)
         if level == 0 or self.coarse_op != "galerkin_octant":
             return apply_hex_operator(v, coef, self.KEs[level])
         return apply_hex_operator_octant(v, coef, self.KEps[level])

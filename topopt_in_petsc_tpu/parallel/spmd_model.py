@@ -72,6 +72,26 @@ class SpmdElasticity:
 
         grids = self.grid.hierarchy(cfg.nlvls)
         KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+        # fine-level LOCAL operator: Pallas kernel on TPU ("auto"),
+        # built for the per-device block shape (the halo engine's local
+        # apply is the same free-BC hex operator the kernel computes;
+        # halo_accumulate completes it across blocks)
+        impl = cfg.operator_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if jax.devices()[0].platform == "tpu"
+                else "xla"
+            )
+        fine_apply = None
+        if impl == "pallas":
+            from topopt_in_petsc_tpu.ops.pallas_hex import (
+                make_pallas_hex_apply,
+            )
+
+            fine_apply = make_pallas_hex_apply(
+                self.decomp.local_nn(0), KEs[0]
+            )
         self.mg = SpmdMultigrid(
             self.decomp,
             KEs,
@@ -85,6 +105,7 @@ class SpmdElasticity:
             coarse_maxit=cfg.coarse_maxit,
             precise_dots=cfg.precise_dots,
             coarse_op=cfg.coarse_op,
+            fine_apply=fine_apply,
         )
 
         N_np, RHS_np = build_cantilever_bc(self.grid, dtype=np_dt)
@@ -152,9 +173,9 @@ class SpmdElasticity:
         # objective / constraints / sensitivities
         uKu = element_quadratic_form(u, self.KE_fine)
         acc = jnp.float64 if cfg.precise_dots else self.dtype
-        fx = psum_scalar(jnp.sum((E * uKu).astype(acc))).astype(self.dtype)
+        fx = psum_scalar(jnp.sum(E * uKu, dtype=acc)).astype(self.dtype)
         nelem = self.grid.nelem
-        vol = psum_scalar(jnp.sum(x.astype(acc))) / nelem
+        vol = psum_scalar(jnp.sum(x, dtype=acc)) / nelem
         gx0 = (vol - cfg.volfrac).astype(self.dtype)
         dfdx = (
             -cfg.penal * x ** (cfg.penal - 1.0) * (cfg.Emax - cfg.Emin)
@@ -289,7 +310,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         engine.grid.nelem, cfg.m, decomp.local_ne(0), dt,
         precise_dots=cfg.precise_dots,
         reduce_sum=lambda v: psum_scalar(
-            jnp.sum(v.astype(jnp.float64 if cfg.precise_dots else dt))
+            jnp.sum(v, dtype=jnp.float64 if cfg.precise_dots else dt)
         ),
         reduce_max=lambda v: pmax_scalar(jnp.max(v)),
         reduce_matrix=psum_scalar,

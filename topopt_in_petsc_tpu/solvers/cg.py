@@ -61,6 +61,23 @@ def _dot(a: jax.Array, b: jax.Array, precise: bool) -> jax.Array:
     return jnp.vdot(af, bf)
 
 
+def accurate_sum(v: jax.Array, precise: bool = True) -> jax.Array:
+    """Chunked two-stage sum; same rationale as the precise _dot (no
+    full-size f64 transients, real accuracy gain on this backend)."""
+    vf = v.ravel()
+    if not precise or vf.dtype == jnp.float64:
+        return jnp.sum(vf)
+    n = vf.size
+    m = (n // _DOT_CHUNK) * _DOT_CHUNK
+    s = jnp.zeros((), jnp.float64)
+    if m:
+        parts = jnp.sum(vf[:m].reshape(-1, _DOT_CHUNK), axis=1)
+        s = s + jnp.sum(parts, dtype=jnp.float64)
+    if n - m:
+        s = s + jnp.sum(vf[m:]).astype(jnp.float64)
+    return s
+
+
 class CGResult(NamedTuple):
     x: jax.Array
     iters: jax.Array  # int32

@@ -109,11 +109,19 @@ def restrict(rf: jax.Array) -> jax.Array:
 def coarsen_cell_field(E: jax.Array) -> jax.Array:
     """2x2x2 arithmetic average of a per-element field (8-child averaging of
     the SIMP-scaled stiffness; SURVEY §7.1 'coarsen densities not
-    operators')."""
-    ex, ey, ez = E.shape
-    return E.reshape(ex // 2, 2, ey // 2, 2, ez // 2, 2).mean(
-        axis=(1, 3, 5)
-    )
+    operators').
+
+    Implemented as 8 strided slices, NOT a 6D reshape-mean: XLA lays
+    the (.., n, 2) reshape out tiled with the minor dim padded from 2
+    to 128 lanes — a 64x HBM blowup (34 GB at 512^3, compile-time
+    OOM)."""
+    s = None
+    for ox in (0, 1):
+        for oy in (0, 1):
+            for oz in (0, 1):
+                c = E[ox::2, oy::2, oz::2]
+                s = c if s is None else s + c
+    return s * 0.125
 
 
 # --------------------------------------------------------------------- #
@@ -198,8 +206,11 @@ class GeometricMultigrid:
 
     # -- per-level masked operator ------------------------------------ #
 
-    def _raw_apply(self, level: int, coef: jax.Array, v: jax.Array):
+    def _raw_apply(self, level: int, coef: jax.Array, v: jax.Array,
+                   prepared=None):
         if level == 0 and self.fine_apply is not None:
+            if prepared is not None:
+                return self.fine_apply.apply_prepared(v, prepared)
             return self.fine_apply(v, coef)
         if level == 0 or self.coarse_op != "galerkin_octant":
             return apply_hex_operator(v, coef, self.KEs[level])
@@ -224,13 +235,13 @@ class GeometricMultigrid:
         return self.masks
 
     def apply(self, level: int, coef: jax.Array, v: jax.Array,
-              masks=None) -> jax.Array:
+              masks=None, prepared=None) -> jax.Array:
         """A_l v = N (K_l (N v)) + (I - N) v   (LinearElasticity.cc:530-538,
         applied matrix-free at every level)."""
         if masks is None:
-            return self._raw_apply(level, coef, v)
+            return self._raw_apply(level, coef, v, prepared)
         N = masks[level]
-        Kv = self._raw_apply(level, coef, N * v)
+        Kv = self._raw_apply(level, coef, N * v, prepared)
         return N * Kv + (1.0 - N) * v
 
     # -- setup (traced; called once per outer iteration) -------------- #
@@ -267,10 +278,15 @@ class GeometricMultigrid:
             ones = jnp.ones((nn[0], nn[1], nn[2], self.dof), self.dtype)
             R = self._raw_absrowsum(l, coef, ones)
             lmax = gershgorin_lambda_max(R, d, mask)
-            levels.append(
-                {"coef": coef, "dinv": 1.0 / d, "lmax": lmax,
-                 "mask": mask}
-            )
+            lvl = {"coef": coef, "dinv": 1.0 / d, "lmax": lmax,
+                   "mask": mask}
+            if l == 0 and self.fine_apply is not None and hasattr(
+                self.fine_apply, "prepare_coef"
+            ):
+                # hoist the kernel's blocked-coefficient prep out of
+                # every matvec (constant within one solve)
+                lvl["fine_coef"] = self.fine_apply.prepare_coef(coef)
+            levels.append(lvl)
         return levels
 
     # -- V-cycle ------------------------------------------------------ #
@@ -285,7 +301,9 @@ class GeometricMultigrid:
         lvl = levels[level]
         masks = [l["mask"] for l in levels] if lvl["mask"] is not None \
             else None
-        A = lambda v: self.apply(level, lvl["coef"], v, masks)
+        A = lambda v: self.apply(
+            level, lvl["coef"], v, masks, prepared=lvl.get("fine_coef")
+        )
 
         if level == self.nlvls - 1:
             res = pcg(
@@ -329,8 +347,10 @@ class GeometricMultigrid:
             for k, v in lvl.items():
                 if v is None:
                     out[k] = None
-                elif k == "lmax":
-                    out[k] = v  # keep the eigenvalue bound in f32
+                elif k in ("lmax", "fine_coef"):
+                    # lmax: keep the eigenvalue bound in f32;
+                    # fine_coef: the pallas kernel computes in f32
+                    out[k] = v
                 else:
                     out[k] = v.astype(pdt)
             return out
