@@ -133,12 +133,12 @@ def bench_solve(nelem_axis: int):
     cfg.validate()
     phys = LinearElasticity(cfg)
     x = jnp.full(phys.grid.ne, cfg.volfrac, dtype=jnp.float32)
-    u0 = jnp.zeros((*phys.grid.nn, 3), jnp.float32)
 
-    res = phys.solve_state(x, u0)  # compile + first solve
+    # solve_state DONATES the warm-start buffer: fresh zeros per call
+    res = phys.solve_state(x)  # compile + first solve
     _sync(res.x)
     t0 = time.perf_counter()
-    res = phys.solve_state(x, u0)
+    res = phys.solve_state(x)
     _sync(res.x)
     dt = time.perf_counter() - t0
     return dt, int(res.iters), float(res.relres), cfg
