@@ -95,6 +95,9 @@ class TopOptConfig:
     # remote Mosaic compiler — see ops/pallas_hex.py)
     precise_dots: bool = True  # upcast CG/objective reductions to f64
     mesh_shape: tuple = (1, 1, 1)  # device mesh (x, y, z); product = #devices
+    # run each optimization iteration as ONE compiled program (the SPMD
+    # fused step on a 1-device mesh; automatic when mesh_shape != 1,1,1)
+    fused: bool = False
     output_cadence_vtu: bool = True  # write .vtu fields like main.cc:114-116
     output_dat: bool = False  # also write the reference-format output_00000.dat
 
@@ -166,6 +169,7 @@ class TopOptConfig:
                   "ksp_maxit", "smooth_sweeps", "pde_nlvls", "pde_maxit",
                   "coarse_maxit", "cheby_ev_iters")
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
+                   "fused",
                    "precise_dots", "output_cadence_vtu", "output_dat")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
                   "workdir", "dtype", "coarse_op", "operator_impl", "mg_dtype")

@@ -229,7 +229,9 @@ class Driver:
 
 
 def run_topopt(cfg: TopOptConfig, max_iters: Optional[int] = None) -> dict:
-    if tuple(cfg.mesh_shape) != (1, 1, 1):
+    if tuple(cfg.mesh_shape) != (1, 1, 1) or cfg.fused:
+        # the SPMD fused-step driver also serves single-device `-fused 1`
+        # runs: one compiled program per optimization iteration
         from topopt_in_petsc_tpu.parallel.spmd_driver import SpmdDriver
 
         return SpmdDriver(cfg).run(max_iters)

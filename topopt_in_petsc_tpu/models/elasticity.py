@@ -111,12 +111,19 @@ class LinearElasticity:
                 else "xla"
             )
         self._pallas_apply = None
+        self._pallas_quadform = None
         if impl == "pallas":
             from topopt_in_petsc_tpu.ops.pallas_hex import (
                 make_pallas_hex_apply,
+                make_pallas_quadform,
             )
 
             self._pallas_apply = make_pallas_hex_apply(
+                self.grid.nn, np.asarray(self.KE)
+            )
+            # objective/sensitivity u^T KE u without the (nelem, 24)
+            # HBM transient of the XLA gather form
+            self._pallas_quadform = make_pallas_quadform(
                 self.grid.nn, np.asarray(self.KE)
             )
 
@@ -200,7 +207,10 @@ class LinearElasticity:
 
     def _objective_parts(self, xPhys, u):
         cfg = self.cfg
-        uKu = element_quadratic_form(u, self.KE)  # (ex, ey, ez)
+        if self._pallas_quadform is not None:
+            uKu = self._pallas_quadform(u)  # (ex, ey, ez)
+        else:
+            uKu = element_quadratic_form(u, self.KE)
         E = self.simp(xPhys)
         # chunked accurate sums: no full-size f64 transients
         # (solvers/cg.accurate_sum)

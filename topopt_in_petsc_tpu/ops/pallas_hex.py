@@ -253,3 +253,145 @@ def make_pallas_hex_apply(
     apply.prepare_coef = prepare_coef
     apply.apply_prepared = apply_prepared
     return apply
+
+# --------------------------------------------------------------------- #
+# Element quadratic form: uKu[e] = u_e^T KE u_e (objective/sensitivity
+# kernel; replaces the (nelem, 24)-transient XLA gather of
+# ops.hex_operator.element_quadratic_form on TPU).
+
+
+def _qf_kernel(u0, u1, u2, out_ref, ub0, ub1, ub2, sems,
+               *, TX: int, Lp: int, ZPc: int, keb: np.ndarray,
+               row_pitch: int):
+    """One (TX, Lp) element-slab of the quadratic form.  Same layout
+    contract as _kernel; corner offsets are {0,1} (gather-only, no
+    halo semantics needed beyond the node grid itself)."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = (
+        j.astype(jnp.int32) * np.int32(row_pitch)
+        + i.astype(jnp.int32) * np.int32(TX)
+    )
+    dmas = []
+    for r, (src, dst) in enumerate(((u0, ub0), (u1, ub1), (u2, ub2))):
+        d = pltpu.make_async_copy(
+            src.at[pl.ds(row0, TX + 8), :], dst, sems.at[np.int32(r)]
+        )
+        d.start()
+        dmas.append(d)
+    for d in dmas:
+        d.wait()
+
+    uv = [ub0[:, :], ub1[:, :], ub2[:, :]]
+    # corner-aligned u views: 4 lane-rolls (y,z in {0,1}) x 2 sublane
+    # offsets (x in {0,1}) per displacement component
+    us = {}
+    for oy in (0, 1):
+        for oz in (0, 1):
+            amt = np.int32((-(oy * ZPc + oz)) % Lp)
+            rolled = [pltpu.roll(uv[c], amt, 1) for c in range(3)]
+            for ox in (0, 1):
+                us[(ox, oy, oz)] = [
+                    rolled[c][ox + 1 : ox + 1 + TX, :] for c in range(3)
+                ]
+
+    acc = jnp.zeros((TX, Lp), jnp.float32)
+    for a, oa in enumerate(CORNER_OFFSETS):
+        ua = us[oa]
+        for b, ob in enumerate(CORNER_OFFSETS):
+            ubv = us[ob]
+            for ii in range(3):
+                k0 = float(keb[a, b, ii, 0])
+                k1 = float(keb[a, b, ii, 1])
+                k2 = float(keb[a, b, ii, 2])
+                acc = acc + ua[ii] * (
+                    k0 * ubv[0] + k1 * ubv[1] + k2 * ubv[2]
+                )
+    out_ref[:] = acc
+
+
+def make_pallas_quadform(
+    nn: Tuple[int, int, int],
+    KE: np.ndarray,
+    *,
+    tx: int = 8,
+    yc: int | None = None,
+    # smaller than the operator kernel's: the 24 hoisted corner views
+    # keep more VMEM live per lane (127M scoped at 20480)
+    lane_budget: int = 10240,
+    interpret: bool = False,
+):
+    """Build `quadform(u) -> uKu` (element field) for a fixed grid.
+
+    Matches ops.hex_operator.element_quadratic_form
+    (LinearElasticity.cc:405-424's u^T KE u loop) without the
+    (nelem, 24) HBM transient."""
+    nx, ny, nz = nn
+    ex, ey, ez = nx - 1, ny - 1, nz - 1
+    TX = tx
+    gx = -(-nx // TX)
+    keb = np.asarray(KE, np.float32).reshape(8, 3, 8, 3).transpose(
+        0, 2, 1, 3
+    )
+
+    ZPc = nz + 2
+    if yc is None:
+        yc = max(4, lane_budget // ZPc - 2)
+    yc = min(yc, ny)
+    YB = -(-ny // yc)
+    YPb = YB * yc + 2
+    Lc = (yc + 2) * ZPc
+    Lcp = -(-Lc // 128) * 128
+    XP = gx * TX + 8
+
+    kern = functools.partial(
+        _qf_kernel, TX=TX, Lp=Lcp, ZPc=ZPc, keb=keb, row_pitch=XP
+    )
+    call = pl.pallas_call(
+        kern,
+        grid=(YB, gx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=pl.BlockSpec(
+            (TX, Lcp),
+            lambda j, i: (j * gx + i, np.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((YB * gx * TX, Lcp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def _block(arr_pad):
+        w = jnp.stack(
+            [arr_pad[:, j * yc : j * yc + yc + 2, :] for j in range(YB)],
+            axis=0,
+        ).reshape(YB * XP, Lc)
+        return jnp.pad(w, ((0, 0), (0, Lcp - Lc)))
+
+    def quadform(u: jax.Array) -> jax.Array:
+        ubs = []
+        for c in range(3):
+            uc = jnp.pad(
+                u[..., c].astype(jnp.float32),
+                ((1, XP - nx - 1), (1, YPb - ny - 1),
+                 (1, ZPc - nz - 1)),
+            )
+            ubs.append(_block(uc))
+        out = call(ubs[0], ubs[1], ubs[2])
+        out = out.reshape(YB, gx * TX, Lcp)[:, :ex, :Lc]
+        out = out.reshape(YB, ex, yc + 2, ZPc)[:, :, 1 : 1 + yc,
+                                               1 : 1 + ez]
+        out = jnp.transpose(out, (1, 0, 2, 3)).reshape(
+            ex, YB * yc, ez
+        )[:, :ey, :]
+        return out.astype(u.dtype)
+
+    return quadform
