@@ -144,14 +144,14 @@ def bench_solve(nelem_axis: int):
     return dt, int(res.iters), float(res.relres), cfg
 
 
-def bench_opt_iter(nelem_axis: int):
+def bench_opt_iter(nelem_axis: int, nlvls: int = 4):
     """One fused optimization iteration (solve+filter+MMA)."""
     from topopt_in_petsc_tpu.config import TopOptConfig
     from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
 
     n = nelem_axis + 1
     cfg = TopOptConfig(
-        nx=n, ny=n, nz=n, nlvls=4, dtype="float32",
+        nx=n, ny=n, nz=n, nlvls=nlvls, dtype="float32",
         precise_dots=False, ksp_maxit=200, operator_impl="pallas",
     )
     step, state = make_fused_step(cfg)
@@ -207,6 +207,18 @@ def main():
         )
     except (StageTimeout, Exception) as e:  # noqa: BLE001
         log(f"opt-iter bench failed: {type(e).__name__}: {e}")
+
+    # BASELINE.md config #4: wall-clock per opt iteration at 256^3
+    # (fused single-program step, 5-level MG, one chip)
+    try:
+        with stage_timeout(560):
+            it_dt, s2 = bench_opt_iter(256, nlvls=5)
+        log(
+            f"opt-iter 256^3 (fused): {it_dt:.3f} s/iteration "
+            f"(solver_iters={int(s2.solver_iters)}, fx={float(s2.fx):.4f})"
+        )
+    except (StageTimeout, Exception) as e:  # noqa: BLE001
+        log(f"opt-iter 256^3 bench failed: {type(e).__name__}: {e}")
 
     print(
         json.dumps(
