@@ -124,3 +124,24 @@ class TestMMAOptions:
         n2, ninf = mma.kkt_residual(x, dfdx, gx, dgdx, xmin, xmax)
         # near the unconstrained optimum, KKT residuals are small
         assert n2 < 0.2 and ninf < 0.1
+
+
+def test_fused_flag_routes_to_spmd_driver(tmp_path):
+    """-fused 1 runs the single-program driver on a (1,1,1) mesh and
+    matches the split driver's trajectory."""
+    import numpy as np
+
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.driver import run_topopt
+
+    common = dict(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=3,
+        dtype="float64", output_cadence_vtu=False, restart=False,
+    )
+    cfg1 = TopOptConfig(workdir=str(tmp_path / "a"), **common)
+    cfg1.validate()
+    h1 = run_topopt(cfg1)
+    cfg2 = TopOptConfig(workdir=str(tmp_path / "b"), fused=True, **common)
+    cfg2.validate()
+    h2 = run_topopt(cfg2)
+    np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
