@@ -112,6 +112,7 @@ class LinearElasticity:
             )
         self._pallas_apply = None
         self._pallas_quadform = None
+        level_applies = None
         if impl == "pallas":
             from topopt_in_petsc_tpu.ops.pallas_hex import (
                 make_pallas_hex_apply,
@@ -126,6 +127,24 @@ class LinearElasticity:
             self._pallas_quadform = make_pallas_quadform(
                 self.grid.nn, np.asarray(self.KE)
             )
+            # with rediscretized coarsening every MG level is the same
+            # hex-operator form, so coarse-level smoothing can ride the
+            # kernel too.  Measured: that wins ~25% at <=129^3 solves
+            # (1.97 -> 1.49 s at 128^3) but consistently LOSES at 257^3
+            # (14.1 -> 14.8-17.8 s depending on the level mix — XLA
+            # schedules the big program worse around the extra custom
+            # calls), so coarse-level kernels are enabled only for
+            # fine grids <= 129^3; tiny levels always stay XLA
+            coarse_kernels = min(self.grid.nn) <= 129
+            level_applies = [self._pallas_apply] + [
+                make_pallas_hex_apply(g.nn, KEs[l])
+                if coarse_kernels
+                and cfg.coarse_op != "galerkin_octant"
+                and min(g.nn) >= 17
+                else None
+                for l, g in enumerate(grids)
+                if l > 0
+            ]
 
         self.mg = GeometricMultigrid(
             grids,
@@ -144,7 +163,7 @@ class LinearElasticity:
             precond_dtype=(
                 jnp.bfloat16 if cfg.mg_dtype == "bfloat16" else None
             ),
-            fine_apply=self._pallas_apply,
+            level_applies=level_applies,
         )
 
         self._step = jax.jit(self._step_impl)

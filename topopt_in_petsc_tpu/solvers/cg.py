@@ -42,6 +42,17 @@ def _dot(a: jax.Array, b: jax.Array, precise: bool) -> jax.Array:
     (summing 50.9M ones via an astype(f64) vdot returns an off-by-one
     f32-grade result), so the casts bought no accuracy.
     """
+    if precise and a.dtype != jnp.float64 and a.ndim >= 2:
+        # reduce over the MINOR axes in one fused pass (no relayout:
+        # ravel/reshape of tiled 4D fields costs ~28 ms per dot at
+        # 257^3, measured +4.5 s per solve), then widen across the
+        # leading-axis partials
+        axes = list(range(a.ndim))
+        parts = jnp.einsum(
+            a, axes, b, axes, [0],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.sum(parts, dtype=jnp.float64)
     af, bf = a.ravel(), b.ravel()
     if precise and af.dtype != jnp.float64:
         n = af.size
@@ -64,6 +75,9 @@ def _dot(a: jax.Array, b: jax.Array, precise: bool) -> jax.Array:
 def accurate_sum(v: jax.Array, precise: bool = True) -> jax.Array:
     """Chunked two-stage sum; same rationale as the precise _dot (no
     full-size f64 transients, real accuracy gain on this backend)."""
+    if precise and v.dtype != jnp.float64 and v.ndim >= 2:
+        parts = jnp.sum(v, axis=tuple(range(1, v.ndim)))
+        return jnp.sum(parts, dtype=jnp.float64)
     vf = v.ravel()
     if not precise or vf.dtype == jnp.float64:
         return jnp.sum(vf)

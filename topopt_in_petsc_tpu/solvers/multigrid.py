@@ -111,17 +111,18 @@ def coarsen_cell_field(E: jax.Array) -> jax.Array:
     the SIMP-scaled stiffness; SURVEY §7.1 'coarsen densities not
     operators').
 
-    Implemented as 8 strided slices, NOT a 6D reshape-mean: XLA lays
-    the (.., n, 2) reshape out tiled with the minor dim padded from 2
-    to 128 lanes — a 64x HBM blowup (34 GB at 512^3, compile-time
-    OOM)."""
-    s = None
-    for ox in (0, 1):
-        for oy in (0, 1):
-            for oz in (0, 1):
-                c = E[ox::2, oy::2, oz::2]
-                s = c if s is None else s + c
-    return s * 0.125
+    Form chosen by measurement (256^3 field, v5e): reshape-sum on the
+    two MAJOR axes (layout-neutral: the lane dim is untouched) + one
+    even/odd slice pair on the lane axis = 26 ms.  The naive 6D
+    reshape-mean lays the (.., n, 2) split out tiled with the minor dim
+    padded 2 -> 128 lanes (38 ms here; a 34 GB compile-time OOM at
+    512^3), and the all-strided-slices form costs 263 ms (8 stride-2
+    gathers)."""
+    ex, ey, ez = E.shape
+    E = E.reshape(ex // 2, 2, ey, ez).sum(axis=1)
+    E = E.reshape(ex // 2, ey // 2, 2, ez).sum(axis=2)
+    E = E[..., 0::2] + E[..., 1::2]
+    return E * 0.125
 
 
 # --------------------------------------------------------------------- #
@@ -156,6 +157,7 @@ class GeometricMultigrid:
         coarse_op: str = "rediscretize",
         precond_dtype=None,
         fine_apply=None,
+        level_applies=None,
     ):
         # precond_dtype: run the whole V-cycle in a lower precision
         # (bf16): the preconditioner only steers CG, so its rounding
@@ -200,18 +202,37 @@ class GeometricMultigrid:
         self.coarse_rtol = coarse_rtol
         self.coarse_maxit = coarse_maxit
         self.precise_dots = precise_dots
-        # optional fused fine-level K@u (the Pallas kernel,
-        # ops/pallas_hex.py): apply(v, coef) -> K v with free BCs
-        self.fine_apply = fine_apply
+        # optional fused K@u kernels (the Pallas kernel,
+        # ops/pallas_hex.py): apply(v, coef) -> K v with free BCs.
+        # `level_applies` is a per-level list (None entries fall back
+        # to XLA); `fine_apply` is the level-0 shorthand.  With
+        # rediscretized coarsening every level is the same hex-operator
+        # form, so the kernel applies on coarse levels too.
+        self.level_applies = list(
+            level_applies
+            if level_applies is not None
+            else [None] * self.nlvls
+        )
+        if fine_apply is not None:
+            self.level_applies[0] = fine_apply
+
+    @property
+    def fine_apply(self):
+        return self.level_applies[0]
+
+    @fine_apply.setter
+    def fine_apply(self, fn):
+        self.level_applies[0] = fn
 
     # -- per-level masked operator ------------------------------------ #
 
     def _raw_apply(self, level: int, coef: jax.Array, v: jax.Array,
                    prepared=None):
-        if level == 0 and self.fine_apply is not None:
+        ap = self.level_applies[level]
+        if ap is not None:
             if prepared is not None:
-                return self.fine_apply.apply_prepared(v, prepared)
-            return self.fine_apply(v, coef)
+                return ap.apply_prepared(v, prepared)
+            return ap(v, coef)
         if level == 0 or self.coarse_op != "galerkin_octant":
             return apply_hex_operator(v, coef, self.KEs[level])
         return apply_hex_operator_octant(v, coef, self.KEps[level])
@@ -280,12 +301,11 @@ class GeometricMultigrid:
             lmax = gershgorin_lambda_max(R, d, mask)
             lvl = {"coef": coef, "dinv": 1.0 / d, "lmax": lmax,
                    "mask": mask}
-            if l == 0 and self.fine_apply is not None and hasattr(
-                self.fine_apply, "prepare_coef"
-            ):
+            ap = self.level_applies[l]
+            if ap is not None and hasattr(ap, "prepare_coef"):
                 # hoist the kernel's blocked-coefficient prep out of
                 # every matvec (constant within one solve)
-                lvl["fine_coef"] = self.fine_apply.prepare_coef(coef)
+                lvl["fine_coef"] = ap.prepare_coef(coef)
             levels.append(lvl)
         return levels
 
