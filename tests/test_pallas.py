@@ -89,3 +89,52 @@ def test_pallas_fine_apply_in_multigrid():
         np.asarray(r2.x), np.asarray(r1.x), rtol=1e-3,
         atol=1e-3 * scale,
     )
+
+
+@pytest.mark.parametrize(
+    "nn,kw",
+    [((17, 9, 9), {}), ((33, 29, 17), dict(yc=8)),
+     ((12, 12, 12), dict(yc=5))],
+)
+def test_pallas_helmholtz_matches(nn, kw):
+    """dof=1 Helmholtz kernel (the PDE-filter operator) vs XLA."""
+    from topopt_in_petsc_tpu.models.elements import (
+        helmholtz_element_matrices,
+    )
+    from topopt_in_petsc_tpu.ops.pallas_hex import (
+        make_pallas_helmholtz_apply,
+    )
+
+    grid = Grid(nn=nn, lo=(0, 0, 0), hi=(2, 1, 1))
+    KF, _ = helmholtz_element_matrices(*grid.h, 0.03)
+    rng = np.random.default_rng(0)
+    E = jnp.asarray(rng.uniform(0.1, 1.0, size=grid.ne), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(*grid.nn, 1)), jnp.float32)
+    ref = apply_hex_operator(u, E, jnp.asarray(KF, jnp.float32))
+    got = make_pallas_helmholtz_apply(
+        grid.nn, KF, interpret=True, **kw
+    )(u, E)
+    err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert err < 1e-5
+
+
+@pytest.mark.parametrize(
+    "nn,kw",
+    [((9, 7, 5), dict(tx=4)), ((17, 9, 9), {}),
+     ((33, 29, 17), dict(yc=8)), ((12, 12, 12), dict(yc=5))],
+)
+def test_pallas_quadform_matches(nn, kw):
+    """Element quadratic form kernel vs the XLA gather form."""
+    from topopt_in_petsc_tpu.ops.hex_operator import (
+        element_quadratic_form,
+    )
+    from topopt_in_petsc_tpu.ops.pallas_hex import make_pallas_quadform
+
+    grid = Grid(nn=nn, lo=(0, 0, 0), hi=(2, 1, 1))
+    KE = hex8_stiffness(*grid.h, 0.3)
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=(*grid.nn, 3)), jnp.float32)
+    ref = element_quadratic_form(u, jnp.asarray(KE, jnp.float32))
+    got = make_pallas_quadform(grid.nn, KE, interpret=True, **kw)(u)
+    err = float(jnp.max(jnp.abs(got - ref)) / jnp.max(jnp.abs(ref)))
+    assert err < 1e-5

@@ -229,6 +229,11 @@ def test_spmd_pallas_fine_apply_matches():
     eng2.mg.fine_apply = make_pallas_hex_apply(
         eng2.decomp.local_nn(0), KE0, interpret=True
     )
+    from topopt_in_petsc_tpu.ops.pallas_hex import make_pallas_quadform
+
+    eng2._pallas_quadform = make_pallas_quadform(
+        eng2.decomp.local_nn(0), KE0, interpret=True
+    )
     eng2._solve_sm = eng2._build_solve()
     res = eng2.compute_objective_constraints_sensitivities(
         x, eng2.zeros_nodal_blk()

@@ -395,3 +395,147 @@ def make_pallas_quadform(
         return out.astype(u.dtype)
 
     return quadform
+
+# --------------------------------------------------------------------- #
+# dof=1 variant (the Helmholtz PDE-filter operator, PDEFilter.cc): same
+# layout contract with a single displacement component and an (8, 8)
+# element matrix.
+
+
+def _kernel1(u0, e_hbm, out_ref, ub0, eb, sems,
+             *, TX: int, Lp: int, ZPc: int, ke1: np.ndarray,
+             row_pitch: int):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    row0 = (
+        j.astype(jnp.int32) * np.int32(row_pitch)
+        + i.astype(jnp.int32) * np.int32(TX)
+    )
+    du = pltpu.make_async_copy(
+        u0.at[pl.ds(row0, TX + 8), :], ub0, sems.at[np.int32(0)]
+    )
+    du.start()
+    de = pltpu.make_async_copy(
+        e_hbm.at[pl.ds(row0, TX + 8), :], eb, sems.at[np.int32(1)]
+    )
+    de.start()
+    du.wait()
+    de.wait()
+
+    uv = ub0[:, :]
+    ev = eb[:, :]
+    acc = jnp.zeros((TX, Lp), jnp.float32)
+    for dy in (-1, 0, 1):
+        for dz in (-1, 0, 1):
+            ur = pltpu.roll(uv, np.int32((-(dy * ZPc + dz)) % Lp), 1)
+            us = {
+                dx: ur[dx + 1 : dx + 1 + TX, :] for dx in (-1, 0, 1)
+            }
+            for ay, by in _PAIRS_1D[dy]:
+                for az, bz in _PAIRS_1D[dz]:
+                    Ea = pltpu.roll(
+                        ev, np.int32((ay * ZPc + az) % Lp), 1
+                    )
+                    for ax, bx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                        a = _CIDX[(ax, ay, az)]
+                        b = _CIDX[(bx, by, bz)]
+                        k = float(ke1[a, b])
+                        acc = acc + (
+                            Ea[1 - ax : 1 - ax + TX, :]
+                            * (k * us[bx - ax])
+                        )
+    out_ref[:] = acc
+
+
+def make_pallas_helmholtz_apply(
+    nn: Tuple[int, int, int],
+    KF: np.ndarray,
+    *,
+    tx: int = 8,
+    yc: int | None = None,
+    lane_budget: int = 20480,
+    interpret: bool = False,
+):
+    """Build `apply(u, E) -> K@u` for a dof=1 nodal field (the Helmholtz
+    filter operator; u: (nx, ny, nz, 1), E: (ex, ey, ez), KF: (8, 8))."""
+    nx, ny, nz = nn
+    ex, ey, ez = nx - 1, ny - 1, nz - 1
+    TX = tx
+    gx = -(-nx // TX)
+    ke1 = np.asarray(KF, np.float32)
+    assert ke1.shape == (8, 8)
+
+    ZPc = nz + 2
+    if yc is None:
+        yc = max(4, lane_budget // ZPc - 2)
+    yc = min(yc, ny)
+    YB = -(-ny // yc)
+    YPb = YB * yc + 2
+    Lc = (yc + 2) * ZPc
+    Lcp = -(-Lc // 128) * 128
+    XP = gx * TX + 8
+
+    kern = functools.partial(
+        _kernel1, TX=TX, Lp=Lcp, ZPc=ZPc, ke1=ke1, row_pitch=XP
+    )
+    call = pl.pallas_call(
+        kern,
+        grid=(YB, gx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=pl.BlockSpec(
+            (TX, Lcp),
+            lambda j, i: (j * gx + i, np.int32(0)),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((YB * gx * TX, Lcp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.VMEM((TX + 8, Lcp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+
+    def _block(arr_pad):
+        w = jnp.stack(
+            [arr_pad[:, j * yc : j * yc + yc + 2, :] for j in range(YB)],
+            axis=0,
+        ).reshape(YB * XP, Lc)
+        return jnp.pad(w, ((0, 0), (0, Lcp - Lc)))
+
+    def prepare_coef(E: jax.Array) -> jax.Array:
+        ep = jnp.pad(
+            E.astype(jnp.float32),
+            ((1, XP - ex - 1), (1, YPb - ey - 1), (1, ZPc - ez - 1)),
+        )
+        return _block(ep)
+
+    def _run(ub, eb, out_dtype):
+        out = call(ub, eb)
+        out = out.reshape(YB, gx * TX, Lcp)[:, :nx, :Lc]
+        out = out.reshape(YB, nx, yc + 2, ZPc)[:, :, 1 : 1 + yc,
+                                               1 : 1 + nz]
+        out = jnp.transpose(out, (1, 0, 2, 3)).reshape(
+            nx, YB * yc, nz
+        )[:, :ny, :]
+        return out[..., None].astype(out_dtype)
+
+    def _prep_u(u):
+        uc = jnp.pad(
+            u[..., 0].astype(jnp.float32),
+            ((1, XP - nx - 1), (1, YPb - ny - 1), (1, ZPc - nz - 1)),
+        )
+        return _block(uc)
+
+    def apply_prepared(u: jax.Array, eb: jax.Array) -> jax.Array:
+        return _run(_prep_u(u), eb, u.dtype)
+
+    def apply(u: jax.Array, E: jax.Array) -> jax.Array:
+        return _run(_prep_u(u), prepare_coef(E), u.dtype)
+
+    apply.prepare_coef = prepare_coef
+    apply.apply_prepared = apply_prepared
+    return apply

@@ -49,6 +49,29 @@ class PDEFilter:
         KFs = [
             helmholtz_element_matrices(*g.h, self.R)[0] for g in grids
         ]
+        # dof=1 Pallas operator on TPU (same policy as elasticity:
+        # "auto" -> pallas on TPU hardware; coarse levels size-gated)
+        impl = cfg.operator_impl
+        if impl == "auto":
+            impl = (
+                "pallas"
+                if jax.devices()[0].platform == "tpu"
+                else "xla"
+            )
+        level_applies = None
+        if impl == "pallas":
+            from topopt_in_petsc_tpu.ops.pallas_hex import (
+                make_pallas_helmholtz_apply,
+            )
+
+            coarse_kernels = min(grid.nn) <= 129
+            level_applies = [
+                make_pallas_helmholtz_apply(g.nn, KFs[l])
+                if l == 0
+                or (coarse_kernels and min(g.nn) >= 17)
+                else None
+                for l, g in enumerate(grids)
+            ]
         self.mg = GeometricMultigrid(
             grids,
             KFs,
@@ -60,6 +83,7 @@ class PDEFilter:
             coarse_rtol=1e-8,
             coarse_maxit=10,
             precise_dots=cfg.precise_dots,
+            level_applies=level_applies,
         )
         # Density-independent operator: one-time MG setup with unit scale.
         ones = jnp.ones(grid.ne, dtype=self.dtype)

@@ -226,6 +226,7 @@ class SpmdMultigrid:
         precise_dots: bool = True,
         coarse_op: str = "rediscretize",
         fine_apply=None,
+        level_applies=None,
     ):
         self.decomp = decomp
         self.mesh_shape = decomp.mesh_shape
@@ -251,17 +252,36 @@ class SpmdMultigrid:
         self.coarse_rtol = coarse_rtol
         self.coarse_maxit = coarse_maxit
         self.precise = precise_dots
-        # optional fused fine-level LOCAL K@u (the Pallas kernel built
-        # for the local block shape): apply(v, coef) -> K v, free BCs;
-        # halo_accumulate completes it across blocks like the XLA form
-        self.fine_apply = fine_apply
+        # optional fused LOCAL K@u kernels (the Pallas kernel built
+        # for the local block shapes): apply(v, coef) -> K v, free BCs;
+        # halo_accumulate completes it across blocks like the XLA form.
+        # level_applies: per-level list (None entries = XLA);
+        # fine_apply is the level-0 shorthand.
+        self.level_applies = list(
+            level_applies
+            if level_applies is not None
+            else [None] * self.nlvls
+        )
+        if fine_apply is not None:
+            self.level_applies[0] = fine_apply
+
+    @property
+    def fine_apply(self):
+        return self.level_applies[0]
+
+    @fine_apply.setter
+    def fine_apply(self, fn):
+        self.level_applies[0] = fn
 
     # env: per-level dicts of LOCAL arrays:
     #   mask (or None), weights w, origin offsets, and per-solve coef/dinv
 
-    def _raw_apply(self, level, coef, v):
-        if level == 0 and self.fine_apply is not None:
-            return self.fine_apply(v, coef)
+    def _raw_apply(self, level, coef, v, prepared=None):
+        ap = self.level_applies[level]
+        if ap is not None:
+            if prepared is not None:
+                return ap.apply_prepared(v, prepared)
+            return ap(v, coef)
         if level == 0 or self.coarse_op != "galerkin_octant":
             return apply_hex_operator(v, coef, self.KEs[level])
         return apply_hex_operator_octant(v, coef, self.KEps[level])
@@ -272,6 +292,7 @@ class SpmdMultigrid:
             level,
             lvl["coef"],
             (lvl["mask"] * v) if lvl["mask"] is not None else v,
+            prepared=lvl.get("fine_coef"),
         )
         Kv = halo_accumulate(Kv, self.mesh_shape)
         if lvl["mask"] is not None:
@@ -310,6 +331,11 @@ class SpmdMultigrid:
                     jnp.abs(self.KEps[l]),
                 )
             lvl["coef"] = coef
+            ap = self.level_applies[l]
+            if ap is not None and hasattr(ap, "prepare_coef"):
+                # hoist the kernel's blocked-coefficient prep out of
+                # every matvec (constant within one solve)
+                lvl["fine_coef"] = ap.prepare_coef(coef)
             d = halo_accumulate(d, self.mesh_shape)
             if lvl["mask"] is not None:
                 d = lvl["mask"] * d + (1.0 - lvl["mask"])

@@ -84,12 +84,29 @@ class SpmdElasticity:
                 else "xla"
             )
         fine_apply = None
+        level_applies = None
+        self._pallas_quadform = None
         if impl == "pallas":
             from topopt_in_petsc_tpu.ops.pallas_hex import (
                 make_pallas_hex_apply,
+                make_pallas_quadform,
             )
 
             fine_apply = make_pallas_hex_apply(
+                self.decomp.local_nn(0), KEs[0]
+            )
+            # same size-gated rule as the single-device path: coarse
+            # kernels win at <=129^3 local fine grids, lose above
+            coarse_kernels = min(self.decomp.local_nn(0)) <= 129
+            level_applies = [fine_apply] + [
+                make_pallas_hex_apply(self.decomp.local_nn(l), KEs[l])
+                if coarse_kernels
+                and cfg.coarse_op != "galerkin_octant"
+                and min(self.decomp.local_nn(l)) >= 17
+                else None
+                for l in range(1, self.decomp.nlvls)
+            ]
+            self._pallas_quadform = make_pallas_quadform(
                 self.decomp.local_nn(0), KEs[0]
             )
         self.mg = SpmdMultigrid(
@@ -105,7 +122,7 @@ class SpmdElasticity:
             coarse_maxit=cfg.coarse_maxit,
             precise_dots=cfg.precise_dots,
             coarse_op=cfg.coarse_op,
-            fine_apply=fine_apply,
+            level_applies=level_applies,
         )
 
         N_np, RHS_np = build_cantilever_bc(self.grid, dtype=np_dt)
@@ -171,7 +188,10 @@ class SpmdElasticity:
         u = res.x
 
         # objective / constraints / sensitivities
-        uKu = element_quadratic_form(u, self.KE_fine)
+        if self._pallas_quadform is not None:
+            uKu = self._pallas_quadform(u)
+        else:
+            uKu = element_quadratic_form(u, self.KE_fine)
         acc = jnp.float64 if cfg.precise_dots else self.dtype
         fx = psum_scalar(jnp.sum(E * uKu, dtype=acc)).astype(self.dtype)
         nelem = self.grid.nelem
