@@ -145,3 +145,52 @@ def test_fused_flag_routes_to_spmd_driver(tmp_path):
     cfg2.validate()
     h2 = run_topopt(cfg2)
     np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
+
+
+def test_cross_driver_restart(tmp_path):
+    """Checkpoints are layout-independent: written by the split driver,
+    resumed by the fused (SPMD) driver."""
+    import numpy as np
+
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.driver import run_topopt
+
+    common = dict(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, dtype="float64",
+        output_cadence_vtu=False,
+    )
+    cfg = TopOptConfig(workdir=str(tmp_path), maxItr=10, **common)
+    cfg.validate()
+    run_topopt(cfg)  # split driver, writes Restart00/01
+
+    from topopt_in_petsc_tpu.io.restart import RestartManager
+
+    latest = RestartManager(str(tmp_path)).latest()
+    assert latest is not None
+    cfg2 = TopOptConfig(
+        workdir=str(tmp_path), maxItr=12, fused=True,
+        restartFileVec=latest, **common,
+    )
+    cfg2.validate()
+    h = run_topopt(cfg2)  # fused driver resumes at itr 10
+    assert len(h["fx"]) <= 2
+    assert all(np.isfinite(v) for v in h["fx"])
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    import os
+
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.driver import run_topopt
+
+    cfg = TopOptConfig(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=1,
+        output_cadence_vtu=False, restart=False,
+        workdir=str(tmp_path / "w"), profile_dir=str(tmp_path / "prof"),
+    )
+    cfg.validate()
+    run_topopt(cfg)
+    found = []
+    for root, _, files in os.walk(tmp_path / "prof"):
+        found += files
+    assert found, "no profiler trace files written"

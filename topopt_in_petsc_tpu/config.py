@@ -100,6 +100,7 @@ class TopOptConfig:
     fused: bool = False
     output_cadence_vtu: bool = True  # write .vtu fields like main.cc:114-116
     output_dat: bool = False  # also write the reference-format output_00000.dat
+    profile_dir: str = ""  # capture a jax.profiler trace of the run
 
     # ----------------------------------------------------------------- #
 
@@ -172,7 +173,8 @@ class TopOptConfig:
                    "fused",
                    "precise_dots", "output_cadence_vtu", "output_dat")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
-                  "workdir", "dtype", "coarse_op", "operator_impl", "mg_dtype")
+                  "workdir", "dtype", "coarse_op", "operator_impl",
+                  "mg_dtype", "profile_dir")
 
     @classmethod
     def from_args(cls, argv: Sequence[str]) -> "TopOptConfig":

@@ -228,7 +228,7 @@ class Driver:
         return history
 
 
-def run_topopt(cfg: TopOptConfig, max_iters: Optional[int] = None) -> dict:
+def _run_topopt(cfg: TopOptConfig, max_iters: Optional[int] = None) -> dict:
     if tuple(cfg.mesh_shape) != (1, 1, 1) or cfg.fused:
         # the SPMD fused-step driver also serves single-device `-fused 1`
         # runs: one compiled program per optimization iteration
@@ -236,3 +236,14 @@ def run_topopt(cfg: TopOptConfig, max_iters: Optional[int] = None) -> dict:
 
         return SpmdDriver(cfg).run(max_iters)
     return Driver(cfg).run(max_iters)
+
+
+def run_topopt(cfg: TopOptConfig, max_iters: Optional[int] = None) -> dict:
+    if cfg.profile_dir:
+        # observability beyond the reference's wall-clock prints
+        # (SURVEY §5): capture a TensorBoard/Perfetto trace of the run
+        from topopt_in_petsc_tpu.utils.profiling import trace_to
+
+        with trace_to(cfg.profile_dir):
+            return _run_topopt(cfg, max_iters)
+    return _run_topopt(cfg, max_iters)
