@@ -117,12 +117,16 @@ def _kernel(u0, u1, u2, e_hbm, out_ref, ub0, ub1, ub2, eb, sems,
                         b = _CIDX[(bx, by, bz)]
                         Eas = Ea[1 - ax : 1 - ax + TX, :]
                         u_s = us[bx - ax]
+                        # factor E once per component: 12 vector ops
+                        # per pair instead of 15
+                        t = [Eas * u_s[jj] for jj in range(3)]
                         for ii in range(3):
                             k0 = float(keb[a, b, ii, 0])
                             k1 = float(keb[a, b, ii, 1])
                             k2 = float(keb[a, b, ii, 2])
-                            acc[ii] = acc[ii] + Eas * (
-                                k0 * u_s[0] + k1 * u_s[1] + k2 * u_s[2]
+                            acc[ii] = (
+                                acc[ii] + k0 * t[0] + k1 * t[1]
+                                + k2 * t[2]
                             )
     out_ref[:] = jnp.stack(acc, axis=0)
 
