@@ -83,6 +83,8 @@ class DesignFilter:
         self.pdef = None
         self.kernel = None
         self.Hs = None
+        self._fft_conv = None
+        self._fft_consts = None
 
         if self.filterType in (0, 1):
             s = filter_stencil_halfwidth(cfg.rmin, grid.h, grid.nn)
