@@ -155,10 +155,17 @@ def bench_opt_iter(nelem_axis: int, nlvls: int = 4):
         precise_dots=False, ksp_maxit=200, operator_impl="pallas",
     )
     step, state = make_fused_step(cfg)
-    s = step(state)  # compile + iteration 1
+    # honest driver semantics: itr 1 (fscale + fresh asymptotes) and
+    # itr 2 (fresh asymptotes) run first, the STEADY-STATE variant
+    # (itr >= 3) is what gets timed
+    s = step(state, 1)  # compile + iteration 1
+    _sync(s.x)
+    s = step(s, 2)
+    _sync(s.x)
+    s = step(s, 3)  # compile steady-state variant
     _sync(s.x)
     t0 = time.perf_counter()
-    s2 = step(s)
+    s2 = step(s, 4)
     _sync(s2.x)
     return time.perf_counter() - t0, s2
 

@@ -90,8 +90,8 @@ def test_fused_step_runs_and_iterates():
     cfg.validate()
     mesh = make_device_mesh((2, 2, 2))
     step, state = make_fused_step(cfg, mesh=mesh)
-    s1 = step(state)
-    s2 = step(s1)
+    s1 = step(state, 1)
+    s2 = step(s1, 2)
     assert np.isfinite(float(s1.fx)) and np.isfinite(float(s2.fx))
     assert float(s2.fx) > 0.0  # compliance is positive
     assert float(jnp.max(jnp.abs(s2.x - s1.x))) > 0.0  # design moved

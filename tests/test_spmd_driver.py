@@ -99,3 +99,39 @@ def test_spmd_driver_projection(tmp_path):
     h = SpmdDriver(cfg).run()
     assert len(h["fx"]) == 3
     assert all(np.isfinite(v) for v in h["fx"])
+
+
+def test_spmd_driver_output_dat(tmp_path):
+    """`-fused 1 -output_dat 1` must produce a reference-format .dat
+    decodable by the offline tools (MPIIO.cc:147-205 parity on the
+    PARALLEL path; VERDICT r1 #5)."""
+    import os
+
+    from topopt_in_petsc_tpu.io.mpiio_dat import dat_to_vtu, read_dat
+    from topopt_in_petsc_tpu.parallel.spmd_driver import SpmdDriver
+
+    cfg = TopOptConfig(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=2,
+        dtype="float64", workdir=str(tmp_path), mesh_shape=(2, 2, 2),
+        output_cadence_vtu=False, output_dat=True, restart=False,
+    )
+    cfg.validate()
+    d = SpmdDriver(cfg)
+    h = d.run()
+    path = str(tmp_path / "output_00000.dat")
+    assert os.path.exists(path)
+    dat = read_dat(path)
+    # itr 1, 2 (cadence itr < 11) + final dump
+    assert [s["itr"] for s in dat["steps"]] == [1, 2, 3]
+    assert dat["points"].shape == (17 * 9 * 9, 3)
+    step = dat["steps"][-1]
+    xphys = step["cell_fields"]["xPhys"]
+    assert xphys.shape == (16 * 8 * 8,)
+    # volume constraint ~ volfrac
+    assert abs(float(xphys.mean()) - cfg.volfrac) < 0.05
+    # gathered xPhys must equal the .dat field (same dump)
+    xg = d._gather_elem(d.state.xPhys).ravel()
+    np.testing.assert_allclose(xphys, xg.astype(np.float32), atol=1e-6)
+    # offline conversion runs
+    out = dat_to_vtu(path, str(tmp_path / "conv"), dataset=2)
+    assert os.path.exists(out)

@@ -18,6 +18,12 @@ def main(argv=None) -> int:
     # f64 scalar reductions on top of f32 fields (like the reference's
     # all-f64 PETSc arithmetic where it matters for convergence).
     jax.config.update("jax_enable_x64", True)
+    # multi-host launch (the reference's `mpirun -np N`, README.md:29):
+    # on a pod slice each host runs this same CLI; initialize() wires
+    # jax.distributed (no-op single-process), making the CLI pod-ready.
+    from topopt_in_petsc_tpu.parallel.multihost import initialize
+
+    initialize()
     cfg = TopOptConfig.from_args(argv)
     run_topopt(cfg)
     return 0

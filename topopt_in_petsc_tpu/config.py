@@ -61,7 +61,10 @@ class TopOptConfig:
     restart: bool = True
     onlyLoadDesign: bool = False
     restartFileVec: str = ""  # here: one .npz per checkpoint stream
-    restartFileItr: str = ""  # kept for CLI parity; unused (itr lives in npz)
+    # parity NO-OP: the reference stores itr/fscale in a separate ASCII
+    # sidecar (-restartFileItr, TopOpt.cc:552-554); here they live inside
+    # the restart .npz, so the flag is accepted and ignored (README).
+    restartFileItr: str = ""
     restartFileVecSol: str = ""
     workdir: str = "./"
 
@@ -71,14 +74,18 @@ class TopOptConfig:
     # flexible-PCG by default (tpu-friendly short recurrence).
     ksp_rtol: float = 1.0e-5
     ksp_maxit: int = 200
+    # outer Krylov: "fcg" (flexible PCG, TPU default — K is SPD) or
+    # "fgmres" (the reference's own method, LinearElasticity.cc:638-650;
+    # robustness fallback, costs (2*restart+1) basis vectors of HBM)
+    ksp_type: str = "fcg"
+    ksp_gmres_restart: int = 30
     coarse_op: str = "rediscretize"  # or "galerkin_octant" (exact
     # level-1 Galerkin; comparable iteration counts, higher per-cycle cost)
     coarse_rtol: float = 1.0e-8
     coarse_maxit: int = 30
     smooth_sweeps: int = 4  # Chebyshev degree per pre/post smooth
-    cheby_ev_iters: int = 12  # power-iteration count for lambda_max estimate
     cheby_upper: float = 1.1  # smooth band = [lower*lmax, upper*lmax]
-    cheby_lower: float = 0.06
+    cheby_lower: float = 0.06  # (lmax from the certain Gershgorin bound)
 
     # --- PDE filter solver (PDEFilter.cc:269-380) ---
     pde_nlvls: int = 3
@@ -162,19 +169,23 @@ class TopOptConfig:
             # Prevent division by zero in the sensitivity filter
             # (reference TopOpt.cc:357-359).
             self.Xmin = 0.001
+        if self.ksp_type not in ("fcg", "fgmres"):
+            raise ValueError(
+                f"-ksp_type must be 'fcg' or 'fgmres', got {self.ksp_type}"
+            )
 
     # ----------------------------------------------------------------- #
     # CLI (PETSc options style: single-dash long flags; TopOpt.cc:154-165)
 
     _INT_FLAGS = ("nx", "ny", "nz", "nlvls", "maxItr", "filter", "nconstraints",
                   "ksp_maxit", "smooth_sweeps", "pde_nlvls", "pde_maxit",
-                  "coarse_maxit", "cheby_ev_iters")
+                  "coarse_maxit", "ksp_gmres_restart")
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
                    "fused",
                    "precise_dots", "output_cadence_vtu", "output_dat")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
                   "workdir", "dtype", "coarse_op", "operator_impl",
-                  "mg_dtype", "profile_dir")
+                  "mg_dtype", "profile_dir", "ksp_type")
 
     @classmethod
     def from_args(cls, argv: Sequence[str]) -> "TopOptConfig":

@@ -141,7 +141,7 @@ class Driver:
         )
 
         history = {"fx": [], "gx": [], "ch": [], "mnd": [], "iters": [],
-                   "time": []}
+                   "time": [], "stalled": []}
         ch = 1.0
         # STEP 7: optimization loop (main.cc:54)
         while self.itr < maxItr and ch > 0.01:
@@ -161,6 +161,22 @@ class Driver:
                 f"State solver:  iter: {int(res.iters)}, "
                 f"rerr.: {float(res.relres):e}, time: {te - ts:f}"
             )
+            # convergence-reason rail (PETSc's KSPConvergedReason
+            # machinery analogue): a silently unconverged solve corrupts
+            # the optimization trajectory — flag it loudly
+            stalled = (
+                int(res.iters) >= cfg.ksp_maxit
+                and float(res.relres) > cfg.ksp_rtol
+            )
+            if stalled:
+                print(
+                    f"WARNING: STATE SOLVER DID NOT CONVERGE in "
+                    f"{cfg.ksp_maxit} iterations "
+                    f"(rerr {float(res.relres):e} > rtol "
+                    f"{cfg.ksp_rtol:e}); sensitivities this iteration "
+                    f"are unreliable — consider -ksp_type fgmres or "
+                    f"more -ksp_maxit"
+                )
 
             # objective scale (main.cc:68-73)
             if self.itr == 1:
@@ -214,6 +230,7 @@ class Driver:
             history["mnd"].append(mnd)
             history["iters"].append(int(res.iters))
             history["time"].append(t2 - t1)
+            history["stalled"].append(stalled)
 
             # output cadence (main.cc:114-116)
             if self.itr < 11 or self.itr % 20 == 0 or changeBeta:

@@ -155,7 +155,6 @@ class LinearElasticity:
             smooth_sweeps=cfg.smooth_sweeps,
             cheby_lower=cfg.cheby_lower,
             cheby_upper=cfg.cheby_upper,
-            cheby_ev_iters=cfg.cheby_ev_iters,
             coarse_rtol=cfg.coarse_rtol,
             coarse_maxit=cfg.coarse_maxit,
             precise_dots=cfg.precise_dots,
@@ -199,6 +198,17 @@ class LinearElasticity:
         else:
             A = lambda v: self.mg.apply(0, E, v, masks)
         M = self.mg.preconditioner(levels)
+        if cfg.ksp_type == "fgmres":
+            # the reference's own outer method (LinearElasticity.cc:638)
+            from topopt_in_petsc_tpu.solvers.gmres import fgmres
+
+            return fgmres(
+                A, rhs, u0, M,
+                rtol=cfg.ksp_rtol,
+                maxiter=cfg.ksp_maxit,
+                restart=cfg.ksp_gmres_restart,
+                precise_dots=cfg.precise_dots,
+            )
         res = pcg(
             A,
             rhs,

@@ -256,6 +256,13 @@ def make_pallas_hex_apply(
 
     apply.prepare_coef = prepare_coef
     apply.apply_prepared = apply_prepared
+    # internals exposed for layout/perf probing (bench, blocked solver)
+    apply._call = call
+    apply._prep_u = _prep_u
+    apply._run = _run
+    apply._layout = dict(
+        TX=TX, gx=gx, yc=yc, YB=YB, ZPc=ZPc, Lc=Lc, Lcp=Lcp, XP=XP
+    )
     return apply
 
 # --------------------------------------------------------------------- #

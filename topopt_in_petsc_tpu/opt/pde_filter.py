@@ -79,7 +79,6 @@ class PDEFilter:
             dof=1,
             dtype=self.dtype,
             smooth_sweeps=max(2, cfg.smooth_sweeps // 2),
-            cheby_ev_iters=cfg.cheby_ev_iters,
             coarse_rtol=1e-8,
             coarse_maxit=10,
             precise_dots=cfg.precise_dots,

@@ -11,6 +11,7 @@ compile-validation path (`__graft_entry__.dryrun_multichip`).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
@@ -37,14 +38,24 @@ class OptState(NamedTuple):
     gx: jax.Array  # last constraints
     ch: jax.Array  # last design change
     solver_iters: jax.Array
+    solver_relres: jax.Array
 
 
 def make_fused_step(cfg: TopOptConfig, mesh=None):
-    """Returns (step_fn, init_state).  step_fn: OptState -> OptState.
+    """Returns (step_fn, init_state).  step_fn: (OptState, itr) -> OptState.
+
+    `itr` (1-based, like main.cc:54's counter) selects among three
+    compiled variants matching the reference's first-iteration semantics:
+    itr == 1 sets fscale = 10/fx (main.cc:68-73), itr <= 2 uses fresh
+    asymptotes (GenSub k<3, MMA.cc:532-537).  This keeps fused-step
+    trajectories identical to the interactive Driver's from iteration 1.
 
     If `mesh` is given, init_state arrays are device_put with the canonical
-    shardings (element fields P('x','y','z'), nodal P('x','y','z',None));
-    jit then propagates the shardings through the whole step.
+    GSPMD shardings (element fields P('x','y','z'), nodal replicated).
+    NOTE: the GSPMD path is a compile-validation convenience, not the
+    scaling path — nodal fields have odd extents and replicate at jit
+    boundaries, so only element-field work actually shards.  Production
+    multi-chip scaling is the shard_map engine (parallel/spmd_model.py).
     """
     cfg.validate()
     grid = Grid.from_config(cfg)
@@ -66,10 +77,15 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
     # rhs/masks/filter constants flow as jit arguments (large-array
     # closures become XLA constants, which breaks compilation at 256^3+,
     # and complex constants are UNIMPLEMENTED on this backend)
-    def step(s: OptState, rhs, masks, filt_consts) -> OptState:
+    def step(s: OptState, rhs, masks, filt_consts, *,
+             first_iter: bool, fresh_asymptotes: bool) -> OptState:
         Hs, fft_consts = filt_consts
         res = physics._step_impl(s.xPhys, s.u, rhs, masks)
-        dfdx = res.dfdx * s.fscale
+        # objective auto-scale at the first iteration (main.cc:68-73)
+        fscale = (
+            10.0 / res.fx if first_iter else s.fscale
+        ).astype(dt)
+        dfdx = res.dfdx * fscale
         dfdx, dgdx = filt._gradients_impl(
             s.x, s.xTilde, dfdx, res.dgdx, beta, eta, Hs,
             fft_consts, projection=projection,
@@ -82,7 +98,8 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         )
         x_new, L, U, lam, y, z = mma._update_impl(
             s.x, dfdx, res.gx, dgdx, xmin, xmax,
-            s.L, s.U, s.xo1, s.xo2, fresh_asymptotes=False,
+            s.L, s.U, s.xo1, s.xo2,
+            fresh_asymptotes=fresh_asymptotes,
         )
         ch = jnp.max(jnp.abs(x_new - s.x))
         xTilde, xPhys = filt._project_impl(
@@ -92,8 +109,8 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         return OptState(
             x=x_new, xTilde=xTilde, xPhys=xPhys, u=res.u,
             L=L, U=U, xo1=s.x, xo2=s.xo1,
-            fscale=s.fscale, fx=res.fx, gx=res.gx, ch=ch,
-            solver_iters=res.iters,
+            fscale=fscale, fx=res.fx, gx=res.gx, ch=ch,
+            solver_iters=res.iters, solver_relres=res.relres,
         )
 
     x0 = jnp.full(grid.ne, cfg.volfrac, dtype=dt)
@@ -115,6 +132,8 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         gx=jnp.zeros((cfg.m,), dt),
         ch=jnp.asarray(1.0, dt),
         solver_iters=jnp.asarray(0, jnp.int32),
+        solver_relres=jnp.asarray(0.0, jnp.float64
+                                  if cfg.precise_dots else dt),
     )
 
     if mesh is not None:
@@ -130,6 +149,7 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         shardings = OptState(
             x=es, xTilde=es, xPhys=es, u=ns, L=es, U=es, xo1=es, xo2=es,
             fscale=rs, fx=rs, gx=rs, ch=rs, solver_iters=rs,
+            solver_relres=rs,
         )
         init = jax.tree_util.tree_map(jax.device_put, init, shardings)
         rhs = jax.device_put(rhs, ns)
@@ -141,13 +161,29 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         filt_consts = jax.tree_util.tree_map(
             lambda a: jax.device_put(a, rs), filt_consts
         )
-        inner = jax.jit(
-            step,
-            in_shardings=(shardings, ns, mask_shardings, fc_shardings),
-            out_shardings=shardings,
-        )
+        inner = {
+            key: jax.jit(
+                partial(
+                    step, first_iter=key[0], fresh_asymptotes=key[1]
+                ),
+                in_shardings=(shardings, ns, mask_shardings,
+                              fc_shardings),
+                out_shardings=shardings,
+            )
+            for key in ((True, True), (False, True), (False, False))
+        }
     else:
-        inner = jax.jit(step)
+        inner = {
+            key: jax.jit(
+                partial(
+                    step, first_iter=key[0], fresh_asymptotes=key[1]
+                )
+            )
+            for key in ((True, True), (False, True), (False, False))
+        }
 
-    step_jit = lambda s: inner(s, rhs, masks, filt_consts)
+    def step_jit(s: OptState, itr: int = 3) -> OptState:
+        key = (itr == 1, itr <= 2)
+        return inner[key](s, rhs, masks, filt_consts)
+
     return step_jit, init

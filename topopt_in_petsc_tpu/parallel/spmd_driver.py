@@ -40,6 +40,20 @@ class SpmdDriver:
         os.makedirs(cfg.workdir, exist_ok=True)
         self.restart_mgr = RestartManager(cfg.workdir, enabled=cfg.restart)
         self.itr = 0
+        self.dat = None
+        if cfg.output_dat:
+            # reference-format parallel output (MPIIO.cc:147-205) on the
+            # SPMD path too: the .dat stream IS the reference's parallel
+            # output path, so `-fused 1 -output_dat 1` must produce it
+            from topopt_in_petsc_tpu.parallel.multihost import is_primary
+
+            if is_primary():
+                from topopt_in_petsc_tpu.io.mpiio_dat import MPIIODat
+
+                self.dat = MPIIODat(
+                    os.path.join(cfg.workdir, "output_00000.dat"),
+                    self.grid,
+                )
 
         if cfg.restart and cfg.restartFileVec:
             data = self.restart_mgr.load(cfg.restartFileVec)
@@ -75,47 +89,53 @@ class SpmdDriver:
 
     # ------------------------------------------------------------- #
 
-    def _globals(self):
-        """Gather blocked state to global numpy arrays (IO only)."""
+    def _gather_elem(self, blk):
+        """ONE blocked element field -> global numpy (IO only).
+
+        Per-field gathers bound peak host memory to ~1 field instead of
+        the whole 8-field state (the round-1 `_globals()` cliff; at
+        512^3 each element field is ~0.5 GB on the host)."""
         d = self.engine.decomp
-        g = lambda blk: d.from_blocked_elem(
-            np.asarray(blk)[..., None]
-        )[..., 0]
-        return {
-            "x": g(self.state.x),
-            "xTilde": g(self.state.xTilde),
-            "xPhys": g(self.state.xPhys),
-            "u": d.from_blocked_nodal(np.asarray(self.state.u)),
-            "xo1": g(self.state.xo1),
-            "xo2": g(self.state.xo2),
-            "U": g(self.state.U),
-            "L": g(self.state.L),
-        }
+        return d.from_blocked_elem(np.asarray(blk)[..., None])[..., 0]
+
+    def _gather_nodal(self, blk):
+        return self.engine.decomp.from_blocked_nodal(np.asarray(blk))
 
     def _write_outputs(self, itr, final=False):
         from topopt_in_petsc_tpu.parallel.multihost import is_primary
 
         if not is_primary():
             return
-        gl = self._globals()
-        if self.cfg.output_cadence_vtu:
-            path = os.path.join(
-                self.cfg.workdir, f"output_{itr:05d}.vtu"
+        cfg = self.cfg
+        if not (cfg.output_cadence_vtu or self.dat is not None):
+            return
+        s = self.state
+        x = self._gather_elem(s.x)
+        xTilde = self._gather_elem(s.xTilde)
+        xPhys = self._gather_elem(s.xPhys)
+        u = self._gather_nodal(s.u)
+        if self.dat is not None:
+            self.dat.write_fields(
+                itr,
+                [u[..., 0], u[..., 1], u[..., 2]],
+                [x, xTilde, xPhys],
             )
-            write_state_vtu(
-                path, self.grid, gl["u"], gl["x"], gl["xTilde"],
-                gl["xPhys"],
-            )
+        if cfg.output_cadence_vtu:
+            path = os.path.join(cfg.workdir, f"output_{itr:05d}.vtu")
+            write_state_vtu(path, self.grid, u, x, xTilde, xPhys)
 
     def _write_restart(self):
         from topopt_in_petsc_tpu.parallel.multihost import is_primary
 
         if not is_primary():
             return
-        gl = self._globals()
+        s = self.state
         self.restart_mgr.write(
-            self.itr, float(self.state.fscale), gl["x"], gl["xPhys"],
-            gl["xo1"], gl["xo2"], gl["U"], gl["L"], gl["u"],
+            self.itr, float(s.fscale),
+            self._gather_elem(s.x), self._gather_elem(s.xPhys),
+            self._gather_elem(s.xo1), self._gather_elem(s.xo2),
+            self._gather_elem(s.U), self._gather_elem(s.L),
+            self._gather_nodal(s.u),
         )
 
     # ------------------------------------------------------------- #
@@ -124,7 +144,7 @@ class SpmdDriver:
         cfg = self.cfg
         maxItr = cfg.maxItr if max_iters is None else max_iters
         history = {"fx": [], "gx": [], "ch": [], "mnd": [], "iters": [],
-                   "time": []}
+                   "time": [], "stalled": []}
         ch = 1.0
         while self.itr < maxItr and ch > 0.01:
             self.itr += 1
@@ -164,6 +184,19 @@ class SpmdDriver:
                 f"State solver:  iter: {int(s.solver_iters)}, "
                 f"rerr.: {float(s.solver_relres):e}, time: {t2 - t1:f}"
             )
+            stalled = (
+                int(s.solver_iters) >= cfg.ksp_maxit
+                and float(s.solver_relres) > cfg.ksp_rtol
+            )
+            if stalled:
+                print(
+                    f"WARNING: STATE SOLVER DID NOT CONVERGE in "
+                    f"{cfg.ksp_maxit} iterations "
+                    f"(rerr {float(s.solver_relres):e} > rtol "
+                    f"{cfg.ksp_rtol:e}); sensitivities this iteration "
+                    f"are unreliable — consider -ksp_type fgmres or "
+                    f"more -ksp_maxit"
+                )
             print(
                 f"It.: {self.itr}, True fx: {fx:f}, "
                 f"Scaled fx: {fx * fscale:f}, gx[0]: {gx0:f}, "
@@ -175,6 +208,7 @@ class SpmdDriver:
             history["mnd"].append(mnd)
             history["iters"].append(int(s.solver_iters))
             history["time"].append(t2 - t1)
+            history["stalled"].append(stalled)
 
             if self.itr < 11 or self.itr % 20 == 0 or changeBeta:
                 self._write_outputs(self.itr)

@@ -117,7 +117,6 @@ class SpmdElasticity:
             smooth_sweeps=cfg.smooth_sweeps,
             cheby_lower=cfg.cheby_lower,
             cheby_upper=cfg.cheby_upper,
-            cheby_ev_iters=cfg.cheby_ev_iters,
             coarse_rtol=cfg.coarse_rtol,
             coarse_maxit=cfg.coarse_maxit,
             precise_dots=cfg.precise_dots,

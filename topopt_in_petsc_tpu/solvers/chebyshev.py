@@ -9,9 +9,12 @@ diag(K)), embarrassingly parallel, and — unlike GMRES/SOR — a *fixed linear
 operator*, which keeps the V-cycle a symmetric positive definite
 preconditioner so plain CG stays valid on the outside.
 
-Smoothing band: [cheby_lower * lmax, cheby_upper * lmax] with lmax estimated
-by a short power iteration on D^-1 K (PETSc's ksp_chebyshev_esteig plays the
-same role).
+Smoothing band: [cheby_lower * lmax, cheby_upper * lmax] with lmax from the
+CERTAIN Gershgorin-style bound (`gershgorin_lambda_max`) — power iteration
+(`estimate_lambda_max`, kept as a diagnostic/test utility only) can
+underestimate at high SIMP contrast, which makes the smoother amplify top
+modes and diverges f32 solves.  PETSc's ksp_chebyshev_esteig plays the same
+role as the bound here.
 """
 
 from __future__ import annotations
@@ -84,7 +87,9 @@ def estimate_lambda_max(
     dot: Optional[Callable] = None,
     v0: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Largest eigenvalue of D^-1 A by power iteration.
+    """Largest eigenvalue of D^-1 A by power iteration (diagnostic/test
+    utility; production setup uses `gershgorin_lambda_max`, see module
+    docstring).
 
     Uses the D-inner-product Rayleigh quotient (v.Av)/(v.Dv), which is the
     Rayleigh quotient of the symmetric pencil (A, D), so the estimate is a

@@ -150,7 +150,6 @@ class GeometricMultigrid:
         smooth_sweeps: int = 4,
         cheby_lower: float = 0.06,
         cheby_upper: float = 1.1,
-        cheby_ev_iters: int = 12,
         coarse_rtol: float = 1e-8,
         coarse_maxit: int = 30,
         precise_dots: bool = True,
@@ -198,7 +197,6 @@ class GeometricMultigrid:
         self.smooth_sweeps = smooth_sweeps
         self.cheby_lower = cheby_lower
         self.cheby_upper = cheby_upper
-        self.cheby_ev_iters = cheby_ev_iters
         self.coarse_rtol = coarse_rtol
         self.coarse_maxit = coarse_maxit
         self.precise_dots = precise_dots
