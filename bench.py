@@ -101,6 +101,24 @@ def bench_spmv(nelem_axis: int, impl: str = "pallas") -> float:
         jax.random.PRNGKey(1), (*grid.nn, 3), dtype=jnp.float32
     )
 
+    if impl == "blocked":
+        # resident-layout operator exactly as the solver hot loop runs
+        # it (solvers/blocked_mg.py): refresh + matvec + Dirichlet row
+        # mask, vectors never leaving the kernel layout
+        from topopt_in_petsc_tpu.ops.blocked_hex import (
+            BlockedHexOperator,
+        )
+
+        op = BlockedHexOperator(grid.nn, np.asarray(KE))
+
+        @jax.jit
+        def A(vb, eb):
+            return op.mask0(op.matvec(op.refresh(vb), eb))
+
+        vb = jax.jit(op.to_blocked)(u)
+        eb = jax.jit(op.prepare_coef)(E)
+        dt = _time_fn(A, vb, eb)
+        return dt, grid
     if impl == "pallas":
         pal = make_pallas_hex_apply(grid.nn, np.asarray(KE))
 

@@ -1,0 +1,203 @@
+"""Blocked-resident operator/solver (ops/blocked_hex.py,
+solvers/blocked_mg.py) vs the nodal-layout reference forms, in Pallas
+interpret mode on CPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topopt_in_petsc_tpu.grid import Grid
+from topopt_in_petsc_tpu.models.elements import hex8_stiffness
+from topopt_in_petsc_tpu.ops.blocked_hex import BlockedHexOperator
+from topopt_in_petsc_tpu.ops.hex_operator import (
+    apply_hex_operator,
+    hex_operator_absrowsum,
+)
+from topopt_in_petsc_tpu.solvers.blocked_mg import BlockedElasticityMG
+
+NN = (9, 7, 5)
+
+
+@pytest.fixture(scope="module", params=["single", "chunked"])
+def op_and_data(request):
+    grid = Grid(nn=NN, lo=(0, 0, 0), hi=(2, 1, 1))
+    KE = hex8_stiffness(*grid.h, 0.3)
+    # 'chunked': force y-chunking (YB > 1) with a tiny lane budget to
+    # exercise the refresh/ownership paths that 512^3 uses
+    cap = 80000 if request.param == "single" else 4 * (NN[2] + 2)
+    op = BlockedHexOperator(NN, KE, lane_cap=cap, interpret=True)
+    if request.param == "chunked":
+        assert op.YB > 1
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(*NN, 3)), jnp.float32)
+    E = jnp.asarray(rng.uniform(0.1, 1.0, size=grid.ne), jnp.float32)
+    return grid, KE, op, u, E
+
+
+def test_roundtrip(op_and_data):
+    grid, KE, op, u, E = op_and_data
+    ub = op.to_blocked(u)
+    back = op.from_blocked(ub)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(u), rtol=1e-6)
+
+
+def test_matvec_matches_nodal(op_and_data):
+    grid, KE, op, u, E = op_and_data
+    ref = apply_hex_operator(u, E, jnp.asarray(KE, jnp.float32))
+    out = op.from_blocked(op.matvec(op.to_blocked(u), op.prepare_coef(E)))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_matvec_after_refresh_of_garbage_halos(op_and_data):
+    """Kernel output halo lanes are garbage; refresh must restore them
+    before the next matvec (A(A(v)) consistency)."""
+    grid, KE, op, u, E = op_and_data
+    KEj = jnp.asarray(KE, jnp.float32)
+    eb = op.prepare_coef(E)
+    ref = apply_hex_operator(apply_hex_operator(u, E, KEj), E, KEj)
+    vb = op.matvec(op.to_blocked(u), eb)  # halos now stale
+    out = op.from_blocked(op.matvec(op.refresh(vb), eb))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=5e-5, atol=5e-5
+    )
+
+
+def test_mask0_matches_nodal_mask(op_and_data):
+    grid, KE, op, u, E = op_and_data
+    ub = op.mask0(op.to_blocked(u))
+    ref = np.asarray(u).copy()
+    ref[0, :, :, :] = 0.0
+    np.testing.assert_allclose(
+        np.asarray(op.from_blocked(ub)), ref, rtol=1e-6
+    )
+
+
+def test_dot_and_sum_match_nodal(op_and_data):
+    grid, KE, op, u, E = op_and_data
+    rng = np.random.default_rng(7)
+    v = jnp.asarray(rng.normal(size=(*NN, 3)), jnp.float32)
+    ub, vb = op.to_blocked(u), op.to_blocked(v)
+    ref = float(jnp.vdot(u.astype(jnp.float64), v.astype(jnp.float64)))
+    got = float(op.dot(ub, vb))
+    assert got == pytest.approx(ref, rel=1e-5)
+    # garbage outside ownership must not leak into the dot
+    got2 = float(op.dot(op.refresh(ub + 0.0), vb))
+    assert got2 == pytest.approx(ref, rel=1e-5)
+    assert float(op.asum(ub)) == pytest.approx(
+        float(jnp.sum(u.astype(jnp.float64))), rel=1e-5
+    )
+
+
+def test_blocked_solve_matches_multigrid_solver():
+    """Full resident-layout MG-PCG vs the nodal GeometricMultigrid path
+    on the cantilever problem."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    cfg = TopOptConfig(
+        nx=9, ny=5, nz=5, nlvls=2, dtype="float32",
+        operator_impl="xla", ksp_rtol=1e-7, ksp_maxit=200,
+    )
+    cfg.validate()
+    phys = LinearElasticity(cfg)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.uniform(0.2, 0.9, size=phys.grid.ne), jnp.float32
+    )
+    ref = phys.solve_state(x)
+
+    grids = phys.grid.hierarchy(cfg.nlvls)
+    KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+    bmg = BlockedElasticityMG(
+        grids, KEs, smooth_sweeps=cfg.smooth_sweeps,
+        coarse_rtol=cfg.coarse_rtol, coarse_maxit=cfg.coarse_maxit,
+        interpret=True,
+    )
+    op0 = bmg.ops[0]
+    E = phys.simp(x)
+    b = op0.mask0(op0.to_blocked(phys.RHS))
+    res = bmg.solve(
+        E, b, jnp.zeros_like(b), rtol=cfg.ksp_rtol, maxiter=200
+    )
+    u = op0.from_blocked(res.x)
+    assert float(res.relres) < cfg.ksp_rtol
+    # same linear system solved to 1e-7: fields agree to ~the tolerance
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(ref.x),
+        rtol=1e-3, atol=1e-4 * float(jnp.max(jnp.abs(ref.x))),
+    )
+    # comparable MG quality: iteration counts in the same regime
+    assert int(res.iters) <= int(ref.iters) + 5
+
+
+def test_blocked_solve_fgmres():
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    cfg = TopOptConfig(
+        nx=9, ny=5, nz=5, nlvls=2, dtype="float32",
+        operator_impl="xla",
+    )
+    cfg.validate()
+    phys = LinearElasticity(cfg)
+    grids = phys.grid.hierarchy(cfg.nlvls)
+    KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+    bmg = BlockedElasticityMG(grids, KEs, interpret=True)
+    op0 = bmg.ops[0]
+    x = jnp.full(phys.grid.ne, 0.5, jnp.float32)
+    b = op0.mask0(op0.to_blocked(phys.RHS))
+    res = bmg.solve(
+        phys.simp(x), b, jnp.zeros_like(b), rtol=1e-6, maxiter=100,
+        ksp_type="fgmres", gmres_restart=20,
+    )
+    assert float(res.relres) < 1e-6
+
+
+def test_blocked_solve_bf16_vcycle():
+    """mg_dtype=bfloat16: the V-cycle stores bf16 (kernel computes f32),
+    the outer flexible CG stays f32 — the solution must still reach the
+    f32 tolerance, only the iteration count may grow a little."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    cfg = TopOptConfig(
+        nx=9, ny=5, nz=5, nlvls=2, dtype="float32",
+        operator_impl="xla", ksp_rtol=1e-6, ksp_maxit=200,
+    )
+    cfg.validate()
+    phys = LinearElasticity(cfg)
+    grids = phys.grid.hierarchy(cfg.nlvls)
+    KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+    bmg = BlockedElasticityMG(
+        grids, KEs, mg_dtype=jnp.bfloat16, interpret=True,
+    )
+    op0 = bmg.op32
+    assert op0 is not bmg.ops[0]  # separate f32 outer kernel
+    x = jnp.full(phys.grid.ne, 0.5, jnp.float32)
+    ref = phys.solve_state(x)
+    b = op0.mask0(op0.to_blocked(phys.RHS))
+    res = bmg.solve(
+        phys.simp(x), b, jnp.zeros_like(b), rtol=1e-6, maxiter=200,
+    )
+    assert res.x.dtype == jnp.float32
+    assert float(res.relres) < 1e-6
+    u = op0.from_blocked(res.x)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(ref.x),
+        rtol=1e-2, atol=1e-3 * float(jnp.max(jnp.abs(ref.x))),
+    )
+
+
+def test_absrowsum_stencil_matches_gather_form():
+    grid = Grid(nn=(5, 4, 3), lo=(0, 0, 0), hi=(1, 0.7, 0.5))
+    KE = jnp.asarray(hex8_stiffness(*grid.h, 0.3))
+    rng = np.random.default_rng(0)
+    E = jnp.asarray(rng.uniform(0.1, 1.0, size=grid.ne))
+    ones = jnp.ones((*grid.nn, 3))
+    ref = apply_hex_operator(ones, E, jnp.abs(KE))
+    got = hex_operator_absrowsum(E, KE, grid.nn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-10)

@@ -84,35 +84,72 @@ class LinearElasticity:
             hex8_stiffness(dx, dy, dz, cfg.nu), dtype=self.dtype
         )
 
-        N_np, RHS_np = build_cantilever_bc(self.grid)
-        self.N = jnp.asarray(N_np, dtype=self.dtype)
-        self.RHS = jnp.asarray(RHS_np, dtype=self.dtype)
-
         # Multigrid hierarchy: per-level element matrices from the 2h
         # rediscretization; per-level masks by node subsampling (coarse
         # nodes coincide with fine nodes at even indices).
         grids = self.grid.hierarchy(cfg.nlvls)
         KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
-        masks = []
-        m = N_np
-        for l in range(cfg.nlvls):
-            masks.append(m)
-            m = m[::2, ::2, ::2]
         # optional Pallas fine-level operator (cfg.operator_impl):
         # used for the outer CG matvec AND the fine level inside the
         # V-cycle (the smoothing sweeps dominate solve time).
-        # "auto" = pallas on TPU (3-6x measured), xla elsewhere (the
-        # kernel has no CPU/GPU lowering outside interpret mode).
+        # "auto" = blocked-resident solver on TPU (the fastest path:
+        # vectors stay in the kernel layout across the whole solve,
+        # solvers/blocked_mg.py), xla elsewhere (the kernel has no
+        # CPU/GPU lowering outside interpret mode).  "pallas" = the
+        # per-apply relayout kernel; "blocked" forces the resident
+        # solver (interpret-mode on CPU, for tests).
+        on_tpu = jax.devices()[0].platform == "tpu"
         impl = cfg.operator_impl
         if impl == "auto":
-            impl = (
-                "pallas"
-                if jax.devices()[0].platform == "tpu"
-                else "xla"
-            )
+            impl = "blocked" if on_tpu else "xla"
         self._pallas_apply = None
         self._pallas_quadform = None
+        self._bsolver = None
         level_applies = None
+        if impl == "blocked":
+            from topopt_in_petsc_tpu.solvers.blocked_mg import (
+                BlockedElasticityMG,
+            )
+
+            # Dirichlet masks AND the load RHS are on-the-fly index
+            # predicates inside the blocked solver
+            # (LinearElasticity.cc:143-171 computes BCs from coordinates
+            # too) — no (nx,ny,nz,3) fields on device at all, the
+            # decisive memory lever at 512^3.
+            self.N = None
+            self.RHS = None
+            self._bsolver = BlockedElasticityMG(
+                grids,
+                KEs,
+                smooth_sweeps=cfg.smooth_sweeps,
+                cheby_lower=cfg.cheby_lower,
+                cheby_upper=cfg.cheby_upper,
+                coarse_rtol=cfg.coarse_rtol,
+                coarse_maxit=cfg.coarse_maxit,
+                precise_dots=cfg.precise_dots,
+                # -mg_dtype bfloat16: bf16-storage V-cycle (f32 kernel
+                # compute, f32 outer Krylov) — halves smoother HBM
+                # traffic and the live-set footprint; pair with the
+                # flexible outer (ksp_type fcg, the default) since the
+                # rounded preconditioner is no longer exactly linear
+                mg_dtype=(
+                    jnp.bfloat16 if cfg.mg_dtype == "bfloat16" else None
+                ),
+                interpret=not on_tpu,
+            )
+            if on_tpu:
+                from topopt_in_petsc_tpu.ops.pallas_hex import (
+                    make_pallas_quadform,
+                )
+
+                self._pallas_quadform = make_pallas_quadform(
+                    self.grid.nn, np.asarray(self.KE)
+                )
+            self.mg = None
+            self._step = jax.jit(self._step_impl)
+            self._solve = jax.jit(self._solve_impl, donate_argnums=(1,))
+            self._objective = jax.jit(self._objective_parts)
+            return
         if impl == "pallas":
             from topopt_in_petsc_tpu.ops.pallas_hex import (
                 make_pallas_hex_apply,
@@ -145,6 +182,15 @@ class LinearElasticity:
                 for l, g in enumerate(grids)
                 if l > 0
             ]
+
+        N_np, RHS_np = build_cantilever_bc(self.grid)
+        self.N = jnp.asarray(N_np, dtype=self.dtype)
+        self.RHS = jnp.asarray(RHS_np, dtype=self.dtype)
+        masks = []
+        m = N_np
+        for l in range(cfg.nlvls):
+            masks.append(m)
+            m = m[::2, ::2, ::2]
 
         self.mg = GeometricMultigrid(
             grids,
@@ -180,12 +226,40 @@ class LinearElasticity:
 
     # -- state solve --------------------------------------------------- #
 
+    def mask_args(self):
+        """Per-level Dirichlet masks for the jit boundary (None on the
+        blocked path, which uses on-the-fly row predicates)."""
+        mg = self.mg
+        return None if mg is None else mg.mask_args()
+
     def _solve_impl(self, xPhys, u0, rhs, masks):
         # rhs/masks arrive as jit ARGUMENTS: closing over them would bake
         # (nx,ny,nz,3)-sized constants into the XLA program (hundreds of
         # MB at 256^3+, which breaks compilation).
         cfg = self.cfg
         E = self.simp(xPhys.astype(self.dtype))
+        if self._bsolver is not None:
+            # blocked-resident path: vectors live in the kernel layout
+            # for the whole solve (solvers/blocked_mg.py); the rhs
+            # argument is ignored — the cantilever load is built from
+            # index predicates (no nodal transient)
+            op0 = self._bsolver.ops[0]
+            b = op0.cantilever_rhs(dtype=jnp.float32)
+            x0 = op0.mask0(op0.to_blocked(u0))
+            res = self._bsolver.solve(
+                E, b, x0,
+                rtol=cfg.ksp_rtol,
+                maxiter=cfg.ksp_maxit,
+                ksp_type=cfg.ksp_type,
+                gmres_restart=cfg.ksp_gmres_restart,
+            )
+            from topopt_in_petsc_tpu.solvers.cg import CGResult
+
+            return CGResult(
+                x=op0.from_blocked(res.x, self.dtype),
+                iters=res.iters,
+                relres=res.relres,
+            )
         levels = self.mg.setup(E, masks)
         if self._pallas_apply is not None:
             N = masks[0]
@@ -229,8 +303,8 @@ class LinearElasticity:
         (one nodal vector of HBM saved); it must not be used after the
         call — keep `res.x` instead (the driver does)."""
         if u0 is None:
-            u0 = jnp.zeros_like(self.RHS)
-        return self._solve(xPhys, u0, self.RHS, self.mg.mask_args())
+            u0 = jnp.zeros((*self.grid.nn, 3), dtype=self.dtype)
+        return self._solve(xPhys, u0, self.RHS, self.mask_args())
 
     # -- objective / constraints / sensitivities ----------------------- #
 
@@ -286,8 +360,8 @@ class LinearElasticity:
         paths) adds the (nelem, 24) objective gather on top of the
         solver's peak buffers and OOMs one chip at 256^3."""
         if u0 is None:
-            u0 = jnp.zeros_like(self.RHS)
-        res = self._solve(xPhys, u0, self.RHS, self.mg.mask_args())
+            u0 = jnp.zeros((*self.grid.nn, 3), dtype=self.dtype)
+        res = self._solve(xPhys, u0, self.RHS, self.mask_args())
         fx, gx, dfdx, dgdx = self._objective(
             xPhys.astype(self.dtype), res.x
         )

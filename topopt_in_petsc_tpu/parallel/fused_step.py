@@ -71,7 +71,7 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
     projection = bool(cfg.projectionFilter)
 
     rhs = physics.RHS
-    masks = physics.mg.mask_args()
+    masks = physics.mask_args()
     filt_consts = (filt.Hs, filt._fft_consts)
 
     # rhs/masks/filter constants flow as jit arguments (large-array
@@ -152,9 +152,16 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
             solver_relres=rs,
         )
         init = jax.tree_util.tree_map(jax.device_put, init, shardings)
-        rhs = jax.device_put(rhs, ns)
-        masks = [jax.device_put(m, rs) for m in masks]
-        mask_shardings = [rs for _ in masks]
+        if rhs is not None:
+            rhs = jax.device_put(rhs, ns)
+        else:
+            ns = None  # blocked solver: rhs built on the fly
+
+        if masks is not None:
+            masks = [jax.device_put(m, rs) for m in masks]
+            mask_shardings = [rs for _ in masks]
+        else:  # blocked solver: on-the-fly masks, nothing to shard
+            mask_shardings = None
         fc_shardings = jax.tree_util.tree_map(
             lambda _: rs, filt_consts
         )

@@ -362,7 +362,7 @@ class SpmdMultigrid:
             )
             return res.x
 
-        smooth = lambda bb, xx: chebyshev_smooth(
+        smooth = lambda bb, xx, **kw: chebyshev_smooth(
             A,
             bb,
             xx,
@@ -371,8 +371,10 @@ class SpmdMultigrid:
             degree=self.smooth_sweeps,
             lower=self.cheby_lower,
             upper=self.cheby_upper,
+            **kw,
         )
-        x = smooth(b, jnp.zeros_like(b))
+        # presmooth from zero: skip the A(0) application entirely
+        x = smooth(b, b, x_is_zero=True)
         r = b - A(x)
         rc = restrict_spmd(r, self.mesh_shape)
         nxt = env[level + 1]

@@ -110,6 +110,7 @@ def pcg(
     flexible: bool = True,
     precise_dots: bool = True,
     dot: Callable | None = None,
+    flex_compress=None,
 ) -> CGResult:
     """Solve A x = b with preconditioned CG, nonzero initial guess.
 
@@ -119,6 +120,14 @@ def pcg(
 
     `dot`, when given, replaces the inner product (the SPMD engine passes
     an ownership-weighted psum dot so duplicated halo planes count once).
+
+    Flexible (Polak-Ribiere) beta is computed as z.(r_new - r_old)
+    = -alpha * z.Ap — the identity lets the old residual die before the
+    preconditioner runs, so only Ap stays live across M (one fewer
+    full-precision vector at the peak).  `flex_compress` (a dtype, e.g.
+    bfloat16) optionally stores that kept copy of Ap compressed: the
+    beta correction term tolerates ~1e-3 relative error, and at 512^3
+    the halved buffer is part of the single-chip memory budget.
     """
     if M is None:
         M = lambda r: r
@@ -133,10 +142,14 @@ def pcg(
     rnorm0 = jnp.sqrt(dot(r, r))
     tol = jnp.maximum(rtol * bnorm, atol)
 
+    # NOTE: z is intentionally NOT part of the loop carry — the body
+    # never reads the previous z, and every carried vector costs a live
+    # HBM buffer across the whole solve (the 512^3 fit depends on the
+    # carry being exactly {x, r, p}).
+
     class State(NamedTuple):
         x: jax.Array
         r: jax.Array
-        z: jax.Array
         p: jax.Array
         rz: jax.Array
         rnorm: jax.Array
@@ -151,19 +164,22 @@ def pcg(
         alpha = (s.rz / pAp).astype(b.dtype)
         x = s.x + alpha * s.p
         r = s.r - alpha * Ap
+        if flexible and flex_compress is not None:
+            Ap = Ap.astype(flex_compress)
         z = M(r)
         if flexible:
-            # Polak-Ribiere: robust to slightly nonstationary M.
-            beta_num = dot(z, r - s.r)
+            # Polak-Ribiere (robust to slightly nonstationary M) via
+            # r_new - r_old = -alpha*Ap: s.r dies before M runs.
+            beta_num = -alpha * dot(z, Ap.astype(z.dtype))
         else:
             beta_num = dot(z, r)
         rz = dot(r, z)
         beta = (beta_num / s.rz).astype(b.dtype)
         p = z + beta * s.p
         rnorm = jnp.sqrt(dot(r, r))
-        return State(x, r, z, p, rz, rnorm, s.k + 1)
+        return State(x, r, p, rz, rnorm, s.k + 1)
 
-    init = State(x0, r, z, z, rz, rnorm0, jnp.asarray(0, jnp.int32))
+    init = State(x0, r, z, rz, rnorm0, jnp.asarray(0, jnp.int32))
     final = jax.lax.while_loop(cond, body, init)
     return CGResult(
         x=final.x,

@@ -123,12 +123,18 @@ def chebyshev_smooth(
     degree: int = 4,
     lower: float = 0.1,
     upper: float = 1.1,
+    x_is_zero: bool = False,
 ) -> jax.Array:
     """`degree` Chebyshev iterations targeting D^-1 A in [lower, upper]*lmax.
 
     Classical three-term recurrence (Saad, Iterative Methods §12.3 /
     hypre-style), maintaining the true residual.  A fixed polynomial in
     (D^-1 A) applied to the residual: linear, SPD-compatible.
+
+    `x_is_zero=True` declares the initial guess zero (V-cycle
+    presmoothing): the initial residual is just `b`, skipping one full
+    operator application — the kernel call is opaque to XLA, so A(0)
+    would otherwise really execute — and one live vector.
     """
     # harmonize scalar dtypes with the field dtype (the bf16 V-cycle
     # passes bf16 fields with an f32 eigenvalue bound; nudge the bound up
@@ -141,9 +147,9 @@ def chebyshev_smooth(
     sigma = theta / delta
     rho = 1.0 / sigma
 
-    r = b - A(x)
+    r = b if x_is_zero else b - A(x)
     d = (dinv * r) / theta
-    x = x + d
+    x = d if x_is_zero else x + d
 
     def body(_, carry):
         x, r, d, rho = carry

@@ -37,6 +37,7 @@ import numpy as np
 from topopt_in_petsc_tpu.ops.hex_operator import (
     apply_hex_operator,
     apply_hex_operator_octant,
+    hex_operator_absrowsum,
     hex_operator_diagonal,
     hex_operator_diagonal_octant,
     octant_split,
@@ -242,8 +243,10 @@ class GeometricMultigrid:
 
     def _raw_absrowsum(self, level: int, coef: jax.Array, ones):
         if level == 0 or self.coarse_op != "galerkin_octant":
-            return apply_hex_operator(
-                ones, coef, jnp.abs(self.KEs[level])
+            # stencil form: no (nelem, 8*dof) gather transient (the
+            # gather form cannot compile at 512^3) and ~10x less setup
+            return hex_operator_absrowsum(
+                coef, self.KEs[level], ones.shape[:3]
             )
         return apply_hex_operator_octant(
             ones, coef, jnp.abs(self.KEps[level])
@@ -336,7 +339,7 @@ class GeometricMultigrid:
             )
             return res.x
 
-        smooth = lambda bb, xx: chebyshev_smooth(
+        smooth = lambda bb, xx, **kw: chebyshev_smooth(
             A,
             bb,
             xx,
@@ -345,9 +348,11 @@ class GeometricMultigrid:
             degree=self.smooth_sweeps,
             lower=self.cheby_lower,
             upper=self.cheby_upper,
+            **kw,
         )
 
-        x = smooth(b, jnp.zeros_like(b))
+        # presmooth from zero: skip the A(0) application entirely
+        x = smooth(b, b, x_is_zero=True)
         r = b - A(x)
         rc = self._mask_of(levels, level + 1, restrict(r))
         ec = self.vcycle(levels, rc, level + 1)
