@@ -191,6 +191,68 @@ def test_blocked_solve_bf16_vcycle():
     )
 
 
+def test_chunked_solve_identical_to_single_program():
+    """solve_chunked carries the full Krylov state across jit calls:
+    the trajectory must be IDENTICAL (not just convergent) to solve().
+
+    The chunking exists because the TPU backend kills device
+    executions beyond ~1-2 minutes (the 512^3 solve crashes at
+    maxiter=200 and runs at maxiter=40 with identical memory)."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    cfg = TopOptConfig(
+        nx=9, ny=5, nz=5, nlvls=2, dtype="float32", operator_impl="xla",
+    )
+    cfg.validate()
+    phys = LinearElasticity(cfg)
+    grids = phys.grid.hierarchy(cfg.nlvls)
+    KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+    bmg = BlockedElasticityMG(grids, KEs, interpret=True)
+    op0 = bmg.ops[0]
+    x = jnp.full(phys.grid.ne, 0.5, jnp.float32)
+    E = phys.simp(x)
+    b = op0.mask0(op0.to_blocked(phys.RHS))
+
+    ref = bmg.solve(E, b, jnp.zeros_like(b), rtol=1e-7, maxiter=60)
+    ks = []
+    got = bmg.solve_chunked(
+        E, b, jnp.zeros_like(b), rtol=1e-7, maxiter=60, chunk=3,
+        callback=lambda k, rr: ks.append(k),
+    )
+    assert int(got.iters) == int(ref.iters)
+    ur = np.asarray(op0.from_blocked(ref.x))
+    ug = np.asarray(op0.from_blocked(got.x))
+    # same trajectory up to f32 rounding of differently-fused programs
+    assert np.max(np.abs(ur - ug)) <= 1e-4 * np.max(np.abs(ur))
+    assert float(got.relres) == pytest.approx(float(ref.relres), rel=1e-3)
+    assert ks[-1] == int(got.iters) and len(ks) >= 2
+
+
+def test_ksp_chunk_routing_in_solve_state():
+    """-ksp_chunk N routes solve_state through the host-stepped solve
+    with the same converged answer as the single-program path."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    kw = dict(nx=9, ny=5, nz=5, nlvls=2, dtype="float32",
+              operator_impl="blocked", ksp_rtol=1e-6)
+    cfg0 = TopOptConfig(**kw, ksp_chunk=0)
+    cfg0.validate()
+    phys0 = LinearElasticity(cfg0)
+    x = jnp.full(phys0.grid.ne, 0.5, jnp.float32)
+    ref = phys0.solve_state(x)
+
+    cfg1 = TopOptConfig(**kw, ksp_chunk=2)
+    cfg1.validate()
+    phys1 = LinearElasticity(cfg1)
+    got = phys1.solve_state(x)
+    assert int(got.iters) == int(ref.iters)
+    assert float(got.relres) < 1e-6
+    ur, ug = np.asarray(ref.x), np.asarray(got.x)
+    assert np.max(np.abs(ur - ug)) <= 1e-4 * np.max(np.abs(ur))
+
+
 def test_absrowsum_stencil_matches_gather_form():
     grid = Grid(nn=(5, 4, 3), lo=(0, 0, 0), hi=(1, 0.7, 0.5))
     KE = jnp.asarray(hex8_stiffness(*grid.h, 0.3))

@@ -47,12 +47,16 @@ def main():
     )
     E = jnp.full(grid.ne, 0.12**3, jnp.float32)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def solve(x0, E):
-        b = bmg.op32.cantilever_rhs()
-        return bmg.solve(
-            E, b, x0, rtol=1e-5, maxiter=maxit,
+        # chunked host loop: this backend kills device executions
+        # beyond ~1-2 min; the Krylov state crosses the jit boundary
+        b = jax.jit(bmg.op32.cantilever_rhs)()
+        return bmg.solve_chunked(
+            E, b, x0, rtol=1e-5, maxiter=maxit, chunk=32,
             ksp_type="fcg" if flexible else "cg",
+            callback=lambda k, rr: print(
+                f"  k={k} relres={rr:.3e}", flush=True
+            ),
         )
 
     def fresh_x0():

@@ -79,6 +79,13 @@ class TopOptConfig:
     # robustness fallback, costs (2*restart+1) basis vectors of HBM)
     ksp_type: str = "fcg"
     ksp_gmres_restart: int = 30
+    # chunked state solve: run the outer Krylov as a host loop over
+    # N-iteration device programs (full Krylov state crosses the jit
+    # boundary, so the trajectory is unchanged).  This backend kills
+    # single device executions beyond ~1-2 min; at 512^3 (~0.8
+    # s/iteration) the solve MUST be chunked.  -1 = auto (chunk of 32
+    # when ndof >= 1e8), 0 = never, >0 = explicit chunk size.
+    ksp_chunk: int = -1
     coarse_op: str = "rediscretize"  # or "galerkin_octant" (exact
     # level-1 Galerkin; comparable iteration counts, higher per-cycle cost)
     coarse_rtol: float = 1.0e-8
@@ -179,7 +186,7 @@ class TopOptConfig:
 
     _INT_FLAGS = ("nx", "ny", "nz", "nlvls", "maxItr", "filter", "nconstraints",
                   "ksp_maxit", "smooth_sweeps", "pde_nlvls", "pde_maxit",
-                  "coarse_maxit", "ksp_gmres_restart")
+                  "coarse_maxit", "ksp_gmres_restart", "ksp_chunk")
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
                    "fused",
                    "precise_dots", "output_cadence_vtu", "output_dat")

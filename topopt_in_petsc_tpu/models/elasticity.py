@@ -295,6 +295,48 @@ class LinearElasticity:
         )
         return res
 
+    def _chunk_size(self) -> int:
+        """Resolved -ksp_chunk: >0 chunk size, 0 disabled."""
+        c = self.cfg.ksp_chunk
+        if c >= 0:
+            return c
+        # auto: this backend kills device executions beyond ~1-2 min;
+        # at >= 1e8 dof a 200-iteration solve crosses that, so the
+        # outer Krylov must be host-stepped (blocked path only)
+        return 32 if self.cfg.ndof >= 1e8 else 0
+
+    def _solve_state_chunked(self, xPhys, u0, chunk: int):
+        cfg = self.cfg
+        bs = self._bsolver
+        op0 = bs.op32
+        if not hasattr(self, "_chunk_pre"):
+            import functools
+
+            @functools.partial(jax.jit, donate_argnums=(1,))
+            def pre(xPhys, u0):
+                E = self.simp(xPhys.astype(self.dtype))
+                b = op0.cantilever_rhs()
+                x0 = op0.mask0(op0.to_blocked(u0))
+                return E, b, x0
+
+            self._chunk_pre = pre
+            self._chunk_post = jax.jit(
+                lambda xb: op0.from_blocked(xb, self.dtype)
+            )
+        E, b, x0 = self._chunk_pre(xPhys, u0)
+        res = bs.solve_chunked(
+            E, b, x0,
+            rtol=cfg.ksp_rtol,
+            maxiter=cfg.ksp_maxit,
+            chunk=chunk,
+            ksp_type=cfg.ksp_type,
+        )
+        from topopt_in_petsc_tpu.solvers.cg import CGResult
+
+        return CGResult(
+            x=self._chunk_post(res.x), iters=res.iters, relres=res.relres
+        )
+
     def solve_state(self, xPhys, u0=None):
         """SolveState (LinearElasticity.cc:182-223): re-'assemble' (set the
         element scale), rebuild the MG setup, solve with warm start.
@@ -304,6 +346,10 @@ class LinearElasticity:
         call — keep `res.x` instead (the driver does)."""
         if u0 is None:
             u0 = jnp.zeros((*self.grid.nn, 3), dtype=self.dtype)
+        if self._bsolver is not None and self.cfg.ksp_type != "fgmres":
+            chunk = self._chunk_size()
+            if chunk:
+                return self._solve_state_chunked(xPhys, u0, chunk)
         return self._solve(xPhys, u0, self.RHS, self.mask_args())
 
     # -- objective / constraints / sensitivities ----------------------- #

@@ -21,6 +21,7 @@ LinearElasticity.cc:143-171).
 
 from __future__ import annotations
 
+import functools
 from typing import List, Sequence
 
 import jax
@@ -170,20 +171,8 @@ class BlockedElasticityMG:
 
     # -- outer solve ----------------------------------------------------- #
 
-    def solve(
-        self,
-        E_fine: jax.Array,
-        b_blk: jax.Array,
-        x0_blk: jax.Array,
-        *,
-        rtol: float = 1e-5,
-        maxiter: int = 200,
-        ksp_type: str = "fcg",
-        gmres_restart: int = 30,
-    ) -> CGResult:
-        """Solve K(E) u = b in the resident layout (b, x0, and the
-        returned solution are blocked arrays)."""
-        levels = self.setup(E_fine)
+    def _outer_ops(self, levels):
+        """(A, M) for the outer Krylov from a `setup()` pytree."""
         op32 = self.op32
         if op32 is self.ops[0]:
             A = self._A(0, levels[0]["eb"])
@@ -199,6 +188,25 @@ class BlockedElasticityMG:
                 z = self.vcycle(levels, r.astype(mgdt))
                 return z.astype(r.dtype)
 
+        return A, M
+
+    def solve(
+        self,
+        E_fine: jax.Array,
+        b_blk: jax.Array,
+        x0_blk: jax.Array,
+        *,
+        rtol: float = 1e-5,
+        maxiter: int = 200,
+        ksp_type: str = "fcg",
+        gmres_restart: int = 30,
+    ) -> CGResult:
+        """Solve K(E) u = b in the resident layout (b, x0, and the
+        returned solution are blocked arrays)."""
+        levels = self.setup(E_fine)
+        op32 = self.op32
+        A, M = self._outer_ops(levels)
+
         if ksp_type == "fgmres":
             from topopt_in_petsc_tpu.solvers.gmres import fgmres
 
@@ -212,10 +220,108 @@ class BlockedElasticityMG:
         # PCG — one fewer live vector across the preconditioner, part of
         # the 512^3 memory budget.  In bf16-V-cycle mode the flexible
         # beta's kept Ap copy is stored bf16 too (see pcg docstring).
+        compress = (
+            jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
+        )
         return pcg(
             A, b_blk, x0_blk, M, rtol=rtol, maxiter=maxiter,
             flexible=(ksp_type != "cg"), dot=dot,
-            flex_compress=(
-                jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
-            ),
+            # bf16-V-cycle mode also compresses the kept Ap copy and the
+            # carried search direction (x and r stay f32) — together with
+            # the bf16 V-cycle this is what fits 512^3 on one chip
+            flex_compress=compress, p_compress=compress,
+        )
+
+    # -- chunked outer solve (host-stepped device executions) ----------- #
+
+    def _pcg_opts(self, ksp_type):
+        compress = (
+            jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
+        )
+        return dict(
+            flexible=(ksp_type != "cg"),
+            flex_compress=compress,
+            p_compress=compress,
+        )
+
+    def _chunk_jits(self, ksp_type: str):
+        """Jitted (init, step) pair for `solve_chunked`, cached per
+        instance+ksp_type."""
+        cache = getattr(self, "_cjit_cache", None)
+        if cache is None:
+            cache = self._cjit_cache = {}
+        if ksp_type in cache:
+            return cache[ksp_type]
+        opts = self._pcg_opts(ksp_type)
+        dot = lambda a, b: self.op32.dot(a, b, self.precise)
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def init(E_fine, b_blk, x0_blk, rtol):
+            levels = self.setup(E_fine)
+            A, M = self._outer_ops(levels)
+            # maxiter=0: run setup + the initial residual/preconditioner
+            # application only, return the full Krylov state
+            _, st = pcg(
+                A, b_blk, x0_blk, M, rtol=rtol, maxiter=0,
+                dot=dot, return_state=True, **opts,
+            )
+            return levels, st
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(levels, st, cap, rtol):
+            A, M = self._outer_ops(levels)
+            _, st = pcg(
+                A, None, None, M, rtol=rtol, maxiter=cap,
+                dot=dot, state0=st, return_state=True, **opts,
+            )
+            return st
+
+        cache[ksp_type] = (init, step)
+        return init, step
+
+    def solve_chunked(
+        self,
+        E_fine: jax.Array,
+        b_blk: jax.Array,
+        x0_blk: jax.Array,
+        *,
+        rtol: float = 1e-5,
+        maxiter: int = 200,
+        chunk: int = 32,
+        ksp_type: str = "fcg",
+        callback=None,
+    ) -> CGResult:
+        """Same Krylov trajectory as `solve`, executed as a host loop
+        over `chunk`-iteration device programs.
+
+        This backend kills single device executions beyond ~1-2 minutes
+        (hardware-bisected: 513^3 x 40 iterations = 31 s runs; the same
+        program with maxiter=200 crashes the TPU worker) — at ~0.8
+        s/iteration for 512^3 the full solve MUST cross the host.  The
+        full Krylov state (solvers/cg.PCGState) carries across calls, so
+        convergence is identical to the single-program solve; buffers
+        are donated, so no extra HBM is held between chunks.
+
+        `callback(k, relres)` runs after every chunk (monitoring —
+        PETSc's KSPMonitor analogue).
+        """
+        if ksp_type == "fgmres":
+            raise ValueError(
+                "solve_chunked supports fcg/cg (fgmres restarts are "
+                "their own natural chunks; use solve())"
+            )
+        init, stepf = self._chunk_jits(ksp_type)
+        rtol_a = jnp.asarray(rtol, jnp.float32)
+        levels, st = init(E_fine, b_blk, x0_blk, rtol_a)
+        bnorm = float(st.bnorm)
+        tol = max(rtol * bnorm, 1e-50)
+        while float(st.rnorm) > tol and int(st.k) < maxiter:
+            cap = jnp.asarray(min(int(st.k) + chunk, maxiter), jnp.int32)
+            st = stepf(levels, st, cap, rtol_a)
+            if callback is not None:
+                callback(int(st.k), float(st.rnorm) / max(bnorm, 1e-300))
+        return CGResult(
+            x=st.x,
+            iters=st.k,
+            relres=st.rnorm / jnp.maximum(st.bnorm, 1e-300),
         )

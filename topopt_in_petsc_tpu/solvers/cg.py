@@ -98,6 +98,21 @@ class CGResult(NamedTuple):
     relres: jax.Array  # final ||r|| / ||b||
 
 
+class PCGState(NamedTuple):
+    """Full Krylov carry: crossing a jit boundary with this (see
+    `pcg(state0=..., return_state=True)`) continues the SAME solve —
+    needed because this backend kills single device executions beyond
+    ~1-2 min (512^3 runs ~0.8 s/iteration)."""
+
+    x: jax.Array
+    r: jax.Array
+    p: jax.Array  # possibly p_compress-typed
+    rz: jax.Array
+    rnorm: jax.Array
+    bnorm: jax.Array
+    k: jax.Array
+
+
 def pcg(
     A: Callable[[jax.Array], jax.Array],
     b: jax.Array,
@@ -111,6 +126,9 @@ def pcg(
     precise_dots: bool = True,
     dot: Callable | None = None,
     flex_compress=None,
+    p_compress=None,
+    state0: "PCGState | None" = None,
+    return_state: bool = False,
 ) -> CGResult:
     """Solve A x = b with preconditioned CG, nonzero initial guess.
 
@@ -128,6 +146,20 @@ def pcg(
     bfloat16) optionally stores that kept copy of Ap compressed: the
     beta correction term tolerates ~1e-3 relative error, and at 512^3
     the halved buffer is part of the single-chip memory budget.
+
+    `p_compress` (a dtype) stores the CARRIED search direction
+    compressed.  The rounded p is used consistently for Ap, the x
+    update, and the r update, so each iteration is exact CG along the
+    rounded direction; only conjugacy across iterations degrades
+    (~p_compress epsilon), which the flexible beta absorbs.  x and r
+    always stay full precision.
+
+    `state0` resumes from a previous call's `.state` (returned when
+    `return_state=True`): the full Krylov carry {x, r, p, rz, rnorm,
+    k, bnorm} crosses the call boundary, so a host loop over short
+    `maxiter` chunks IS the single long solve (no restart) — this
+    backend kills device executions beyond ~1-2 minutes, so giant
+    solves (512^3: ~0.8 s/iteration) must be chunked.
     """
     if M is None:
         M = lambda r: r
@@ -135,34 +167,35 @@ def pcg(
     if dot is None:
         dot = partial(_dot, precise=precise_dots)
 
-    r = b - A(x0)
-    z = M(r)
-    rz = dot(r, z)
-    bnorm = jnp.sqrt(dot(b, b))
-    rnorm0 = jnp.sqrt(dot(r, r))
-    tol = jnp.maximum(rtol * bnorm, atol)
+    if state0 is None:
+        r = b - A(x0)
+        z = M(r)
+        rz = dot(r, z)
+        bnorm = jnp.sqrt(dot(b, b))
+        rnorm0 = jnp.sqrt(dot(r, r))
+        p0 = z.astype(p_compress) if p_compress is not None else z
+        init = PCGState(
+            x0, r, p0, rz, rnorm0, bnorm, jnp.asarray(0, jnp.int32)
+        )
+    else:
+        init = PCGState(*state0)
+    tol = jnp.maximum(rtol * init.bnorm, atol)
 
     # NOTE: z is intentionally NOT part of the loop carry — the body
     # never reads the previous z, and every carried vector costs a live
     # HBM buffer across the whole solve (the 512^3 fit depends on the
     # carry being exactly {x, r, p}).
 
-    class State(NamedTuple):
-        x: jax.Array
-        r: jax.Array
-        p: jax.Array
-        rz: jax.Array
-        rnorm: jax.Array
-        k: jax.Array
-
-    def cond(s: State):
+    def cond(s: PCGState):
         return jnp.logical_and(s.k < maxiter, s.rnorm > tol)
 
-    def body(s: State):
-        Ap = A(s.p)
-        pAp = dot(s.p, Ap)
-        alpha = (s.rz / pAp).astype(b.dtype)
-        x = s.x + alpha * s.p
+    def body(s: PCGState):
+        vdt = s.x.dtype
+        p = s.p.astype(vdt) if p_compress is not None else s.p
+        Ap = A(p)
+        pAp = dot(p, Ap)
+        alpha = (s.rz / pAp).astype(vdt)
+        x = s.x + alpha * p
         r = s.r - alpha * Ap
         if flexible and flex_compress is not None:
             Ap = Ap.astype(flex_compress)
@@ -174,15 +207,17 @@ def pcg(
         else:
             beta_num = dot(z, r)
         rz = dot(r, z)
-        beta = (beta_num / s.rz).astype(b.dtype)
-        p = z + beta * s.p
+        beta = (beta_num / s.rz).astype(vdt)
+        p = z + beta * p
+        if p_compress is not None:
+            p = p.astype(p_compress)
         rnorm = jnp.sqrt(dot(r, r))
-        return State(x, r, p, rz, rnorm, s.k + 1)
+        return PCGState(x, r, p, rz, rnorm, s.bnorm, s.k + 1)
 
-    init = State(x0, r, z, rz, rnorm0, jnp.asarray(0, jnp.int32))
     final = jax.lax.while_loop(cond, body, init)
-    return CGResult(
+    res = CGResult(
         x=final.x,
         iters=final.k,
-        relres=final.rnorm / jnp.maximum(bnorm, 1e-300),
+        relres=final.rnorm / jnp.maximum(final.bnorm, 1e-300),
     )
+    return (res, final) if return_state else res
