@@ -146,7 +146,7 @@ def bench_solve(nelem_axis: int):
     n = nelem_axis + 1
     cfg = TopOptConfig(
         nx=n, ny=n, nz=n, nlvls=4, dtype="float32",
-        precise_dots=False, ksp_maxit=200, operator_impl="pallas",
+        precise_dots=False, ksp_maxit=200, operator_impl="auto",
     )
     cfg.validate()
     phys = LinearElasticity(cfg)
@@ -162,6 +162,33 @@ def bench_solve(nelem_axis: int):
     return dt, int(res.iters), float(res.relres), cfg
 
 
+def bench_solve_512():
+    """BASELINE #5's single-chip leg: the 512^3 (405M dof) state solve.
+
+    bf16 V-cycle storage (auto at this size), f32 outer FCG, chunked
+    host loop (this backend kills >1-2 min device executions)."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    cfg = TopOptConfig(
+        nx=513, ny=513, nz=513, nlvls=6, dtype="float32",
+        precise_dots=False, smooth_sweeps=2, ksp_maxit=400,
+        operator_impl="auto",
+    )
+    cfg.validate()
+    phys = LinearElasticity(cfg)
+    x = jnp.full(phys.grid.ne, cfg.volfrac, dtype=jnp.float32)
+    res = phys.solve_state(x)  # compile + first solve
+    _sync(res.x)
+    iters1 = int(res.iters)
+    del res
+    t0 = time.perf_counter()
+    res = phys.solve_state(x)
+    _sync(res.x)
+    dt = time.perf_counter() - t0
+    return dt, int(res.iters), float(res.relres), iters1, cfg
+
+
 def bench_opt_iter(nelem_axis: int, nlvls: int = 4):
     """One fused optimization iteration (solve+filter+MMA)."""
     from topopt_in_petsc_tpu.config import TopOptConfig
@@ -170,7 +197,7 @@ def bench_opt_iter(nelem_axis: int, nlvls: int = 4):
     n = nelem_axis + 1
     cfg = TopOptConfig(
         nx=n, ny=n, nz=n, nlvls=nlvls, dtype="float32",
-        precise_dots=False, ksp_maxit=200, operator_impl="pallas",
+        precise_dots=False, ksp_maxit=200, operator_impl="auto",
     )
     step, state = make_fused_step(cfg)
     # honest driver semantics: itr 1 (fscale + fresh asymptotes) and
@@ -192,10 +219,10 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
-    # --- primary: SpMV nnz/s at 256^3, pallas kernel (fallbacks:
-    # xla form, then 128^3) ---
-    for ne, impl in ((256, "pallas"), (256, "xla"), (128, "pallas"),
-                     (128, "xla")):
+    # --- primary: SpMV nnz/s at 256^3, blocked-resident kernel
+    # (fallbacks: per-apply pallas, xla form, then 128^3) ---
+    for ne, impl in ((256, "blocked"), (256, "pallas"), (256, "xla"),
+                     (128, "blocked"), (128, "xla")):
         try:
             with stage_timeout(560):
                 dt, grid = bench_spmv(ne, impl)
@@ -244,6 +271,20 @@ def main():
         )
     except (StageTimeout, Exception) as e:  # noqa: BLE001
         log(f"opt-iter 256^3 bench failed: {type(e).__name__}: {e}")
+
+    s2 = None  # release the 256^3 OptState before the 512^3 stage (HBM)
+
+    # BASELINE.md config #5's single-chip leg: 512^3 (405M dof) solve
+    try:
+        with stage_timeout(1500):
+            sdt, iters, relres, iters1, cfg5 = bench_solve_512()
+        log(
+            f"solve 512^3 (405M dof, one chip): {sdt:.1f} s, "
+            f"iters={iters}, relres={relres:.2e}, "
+            f"PCG {cfg5.ndof * max(iters, 1) / sdt / 1e6:.0f} Mdof*iter/s"
+        )
+    except (StageTimeout, Exception) as e:  # noqa: BLE001
+        log(f"solve 512^3 bench failed: {type(e).__name__}: {e}")
 
     print(
         json.dumps(

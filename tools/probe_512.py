@@ -30,14 +30,16 @@ def main():
     flexible = bool(int(sys.argv[2])) if len(sys.argv) > 2 else False
     nlvls = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     maxit = int(sys.argv[4]) if len(sys.argv) > 4 else 200
-    mgdt = jnp.bfloat16 if (len(sys.argv) > 5 and sys.argv[5] == "bf16") else None
+    mode = sys.argv[5] if len(sys.argv) > 5 else "f32"
+    mgdt = jnp.bfloat16 if mode == "bf16" else None
+    kc = jnp.bfloat16 if mode in ("bf16", "f32c") else None
     n = int(sys.argv[6]) if len(sys.argv) > 6 else 513
     grid = Grid(nn=(n, n, n), lo=(0, 0, 0), hi=(2, 1, 1))
     grids = grid.hierarchy(nlvls)
     KEs = [hex8_stiffness(*g.h, 0.3) for g in grids]
     bmg = BlockedElasticityMG(
         grids, KEs, smooth_sweeps=sweeps, precise_dots=False,
-        mg_dtype=mgdt,
+        mg_dtype=mgdt, krylov_compress=kc,
     )
     op0 = bmg.ops[0]
     print(
@@ -76,7 +78,7 @@ def main():
     dt = time.perf_counter() - t0
     ndof = 3 * n**3
     print(
-        f"{n-1}^3 sweeps={sweeps} flexible={flexible} nlvls={nlvls} mg={mgdt}: "
+        f"{n-1}^3 sweeps={sweeps} flexible={flexible} nlvls={nlvls} mg={mode}: "
         f"{dt:.3f} s, iters={int(res.iters)}, "
         f"relres={float(res.relres):.2e}, ndof={ndof:,}, "
         f"PCG {ndof * max(int(res.iters), 1) / dt / 1e6:.0f} Mdof*iter/s"

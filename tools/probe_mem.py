@@ -28,11 +28,9 @@ def main():
     sweeps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     ksp = sys.argv[3] if len(sys.argv) > 3 else "fcg"
     nlvls = int(sys.argv[4]) if len(sys.argv) > 4 else 6
-    mgdt = (
-        jnp.bfloat16
-        if (len(sys.argv) > 5 and sys.argv[5] == "bf16")
-        else None
-    )
+    mode = sys.argv[5] if len(sys.argv) > 5 else "f32"
+    mgdt = jnp.bfloat16 if mode == "bf16" else None
+    kc = jnp.bfloat16 if mode in ("bf16", "f32c") else None
     maxit = int(sys.argv[6]) if len(sys.argv) > 6 else 200
 
     grid = Grid(nn=(n, n, n), lo=(0, 0, 0), hi=(2, 1, 1))
@@ -40,7 +38,7 @@ def main():
     KEs = [hex8_stiffness(*g.h, 0.3) for g in grids]
     bmg = BlockedElasticityMG(
         grids, KEs, smooth_sweeps=sweeps, precise_dots=False,
-        mg_dtype=mgdt,
+        mg_dtype=mgdt, krylov_compress=kc,
     )
     op0 = bmg.op32
     vec_gib = 3 * op0.rows * op0.Lcp * 4 / 2**30
@@ -68,7 +66,7 @@ def main():
     g = 2**30
     print(
         f"{n - 1}^3 sweeps={sweeps} ksp={ksp} nlvls={nlvls} "
-        f"mg={'bf16' if mgdt else 'f32'}: "
+        f"mode={mode}: "
         f"temp={ma.temp_size_in_bytes / g:.2f} GiB  "
         f"args={ma.argument_size_in_bytes / g:.2f}  "
         f"out={ma.output_size_in_bytes / g:.2f}  "

@@ -131,9 +131,17 @@ class LinearElasticity:
                 # compute, f32 outer Krylov) — halves smoother HBM
                 # traffic and the live-set footprint; pair with the
                 # flexible outer (ksp_type fcg, the default) since the
-                # rounded preconditioner is no longer exactly linear
+                # rounded preconditioner is no longer exactly linear.
+                # Auto-engaged at giga-dof sizes: the f32 V-cycle needs
+                # 16.2 GB > 15.75 GB HBM at 512^3 (compile-checked),
+                # bf16 fits at 14.5 GB and solves in 105 iterations.
                 mg_dtype=(
-                    jnp.bfloat16 if cfg.mg_dtype == "bfloat16" else None
+                    jnp.bfloat16
+                    if (
+                        cfg.mg_dtype == "bfloat16"
+                        or (cfg.mg_dtype == "same" and cfg.ndof >= 3.5e8)
+                    )
+                    else None
                 ),
                 interpret=not on_tpu,
             )
@@ -323,9 +331,10 @@ class LinearElasticity:
             self._chunk_post = jax.jit(
                 lambda xb: op0.from_blocked(xb, self.dtype)
             )
-        E, b, x0 = self._chunk_pre(xPhys, u0)
+        # *-unpack so this frame holds no refs to E/b/x0 — solve_chunked
+        # releases them once the initial residual is built (512^3 HBM)
         res = bs.solve_chunked(
-            E, b, x0,
+            *self._chunk_pre(xPhys, u0),
             rtol=cfg.ksp_rtol,
             maxiter=cfg.ksp_maxit,
             chunk=chunk,

@@ -113,6 +113,10 @@ def _kernel(u_hbm, e_hbm, out_ref, *scratch, Lp: int, ZPc: int,
         ev = ebuf[:, :].astype(jnp.float32)
 
         acc = [jnp.zeros((TX, Lp), jnp.float32) for _ in range(dof)]
+        # NOTE: hoisting the 4 distinct E lane-rolls out of the (dy, dz)
+        # loop was probed and REJECTED: 4 extra live (TX+16, Lp) arrays
+        # push Mosaic's register allocator into a >20-minute compile
+        # (same pathology as the LANE_CAP spill ceiling above)
         for dy in (-1, 0, 1):
             for dz in (-1, 0, 1):
                 # u(.., y+dy, z+dz) at the out lanes: one lane-roll per

@@ -57,6 +57,7 @@ class BlockedElasticityMG:
         coarse_maxit: int = 30,
         precise_dots: bool = True,
         mg_dtype=None,
+        krylov_compress="auto",
         lane_cap: int | None = None,
         interpret: bool = False,
     ):
@@ -83,6 +84,15 @@ class BlockedElasticityMG:
                 self.grids[0].nn, np.asarray(KEs[0]), dof=3,
                 dtype=jnp.float32, interpret=interpret, **kw,
             )
+        # krylov_compress: dtype for the carried search direction and
+        # the flexible beta's kept Ap copy (see pcg docstring); "auto"
+        # ties it to the V-cycle dtype, None disables.  Decoupled so an
+        # f32 V-cycle can still shed ~2 full vectors at 512^3.
+        if krylov_compress == "auto":
+            krylov_compress = (
+                jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
+            )
+        self.krylov_compress = krylov_compress
         self.smooth_sweeps = smooth_sweeps
         self.cheby_lower = cheby_lower
         self.cheby_upper = cheby_upper
@@ -218,28 +228,18 @@ class BlockedElasticityMG:
         dot = lambda a, b: op32.dot(a, b, self.precise)
         # "fcg" (default): Polak-Ribiere flexible CG.  "cg": standard
         # PCG — one fewer live vector across the preconditioner, part of
-        # the 512^3 memory budget.  In bf16-V-cycle mode the flexible
-        # beta's kept Ap copy is stored bf16 too (see pcg docstring).
-        compress = (
-            jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
-        )
+        # the 512^3 memory budget.
         return pcg(
             A, b_blk, x0_blk, M, rtol=rtol, maxiter=maxiter,
             flexible=(ksp_type != "cg"), dot=dot,
-            # bf16-V-cycle mode also compresses the kept Ap copy and the
-            # carried search direction (x and r stay f32) — together with
-            # the bf16 V-cycle this is what fits 512^3 on one chip
-            flex_compress=compress, p_compress=compress,
+            **self._pcg_opts(ksp_type),
         )
 
     # -- chunked outer solve (host-stepped device executions) ----------- #
 
     def _pcg_opts(self, ksp_type):
-        compress = (
-            jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
-        )
+        compress = self.krylov_compress
         return dict(
-            flexible=(ksp_type != "cg"),
             flex_compress=compress,
             p_compress=compress,
         )
@@ -252,7 +252,9 @@ class BlockedElasticityMG:
             cache = self._cjit_cache = {}
         if ksp_type in cache:
             return cache[ksp_type]
-        opts = self._pcg_opts(ksp_type)
+        opts = dict(
+            flexible=(ksp_type != "cg"), **self._pcg_opts(ksp_type)
+        )
         dot = lambda a, b: self.op32.dot(a, b, self.precise)
 
         @functools.partial(jax.jit, donate_argnums=(2,))
@@ -313,6 +315,9 @@ class BlockedElasticityMG:
         init, stepf = self._chunk_jits(ksp_type)
         rtol_a = jnp.asarray(rtol, jnp.float32)
         levels, st = init(E_fine, b_blk, x0_blk, rtol_a)
+        # drop the python refs: b is dead after the initial residual and
+        # x0 was donated — at 512^3 each held ref is 1.7 GiB of HBM
+        b_blk = x0_blk = E_fine = None
         bnorm = float(st.bnorm)
         tol = max(rtol * bnorm, 1e-50)
         while float(st.rnorm) > tol and int(st.k) < maxiter:
