@@ -253,6 +253,27 @@ def test_ksp_chunk_routing_in_solve_state():
     assert np.max(np.abs(ur - ug)) <= 1e-4 * np.max(np.abs(ur))
 
 
+def test_cantilever_rhs_matches_nodal_builder(op_and_data):
+    """The on-the-fly blocked RHS (index predicates, no nodal transient)
+    must equal build_cantilever_bc's nodal RHS exactly — including the
+    halved corner loads (LinearElasticity.cc:158-171)."""
+    from topopt_in_petsc_tpu.models.elasticity import build_cantilever_bc
+
+    grid, KE, op, u, E = op_and_data
+    _, rhs_np = build_cantilever_bc(grid)
+    got = np.asarray(op.from_blocked(op.cantilever_rhs()))
+    np.testing.assert_allclose(got, rhs_np, rtol=1e-6, atol=0)
+    # duplicated y-chunk halo lanes must hold consistent (true) values:
+    # dot against a consistent field equals the nodal dot
+    w = op.to_blocked(jnp.asarray(np.random.default_rng(0).normal(
+        size=rhs_np.shape).astype(np.float32)))
+    ref = float(jnp.vdot(op.from_blocked(w).astype(jnp.float64),
+                         jnp.asarray(rhs_np, jnp.float64)))
+    assert float(op.dot(w, op.cantilever_rhs())) == pytest.approx(
+        ref, rel=1e-5, abs=1e-12
+    )
+
+
 def test_absrowsum_stencil_matches_gather_form():
     grid = Grid(nn=(5, 4, 3), lo=(0, 0, 0), hi=(1, 0.7, 0.5))
     KE = jnp.asarray(hex8_stiffness(*grid.h, 0.3))

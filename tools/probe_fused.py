@@ -1,0 +1,57 @@
+"""Fused opt-iteration probe at a given element count.
+
+Usage: python tools/probe_fused.py <nelem_axis> [nlvls]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+sys.path.insert(0, "/root/repo")
+
+from topopt_in_petsc_tpu.config import TopOptConfig  # noqa: E402
+from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step  # noqa: E402
+
+
+def _sync(o):
+    return float(jnp.asarray(jax.tree_util.tree_leaves(o)[0]).reshape(-1)[0])
+
+
+def main():
+    ne = int(sys.argv[1]) if len(sys.argv) > 1 else 384
+    nlvls = int(sys.argv[2]) if len(sys.argv) > 2 else (
+        6 if ne % 32 == 0 else 5
+    )
+    n = ne + 1
+    cfg = TopOptConfig(
+        nx=n, ny=n, nz=n, nlvls=nlvls, dtype="float32",
+        precise_dots=False, ksp_maxit=200, operator_impl="auto",
+    )
+    cfg.validate()
+    step, state = make_fused_step(cfg)
+    t0 = time.perf_counter()
+    s = step(state, 1)
+    _sync(s.x)
+    print(f"iter 1 (incl compile): {time.perf_counter() - t0:.1f} s "
+          f"(solver_iters={int(s.solver_iters)})", flush=True)
+    s = step(s, 2)
+    _sync(s.x)
+    s = step(s, 3)
+    _sync(s.x)
+    t0 = time.perf_counter()
+    s = step(s, 4)
+    _sync(s.x)
+    dt = time.perf_counter() - t0
+    print(
+        f"fused opt-iter {ne}^3 nlvls={nlvls}: {dt:.3f} s/iteration "
+        f"(solver_iters={int(s.solver_iters)}, fx={float(s.fx):.4f}, "
+        f"ndof={cfg.ndof:,})"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,4 @@
-from topopt_in_petsc_tpu.solvers.cg import pcg
+from topopt_in_petsc_tpu.solvers.cg import CGResult, PCGState, pcg
 from topopt_in_petsc_tpu.solvers.chebyshev import (
     chebyshev_smooth,
     estimate_lambda_max,
@@ -6,6 +6,8 @@ from topopt_in_petsc_tpu.solvers.chebyshev import (
 from topopt_in_petsc_tpu.solvers.multigrid import GeometricMultigrid
 
 __all__ = [
+    "CGResult",
+    "PCGState",
     "pcg",
     "chebyshev_smooth",
     "estimate_lambda_max",
