@@ -86,6 +86,11 @@ class TopOptConfig:
     # s/iteration) the solve MUST be chunked.  -1 = auto (chunk of 32
     # when ndof >= 1e8), 0 = never, >0 = explicit chunk size.
     ksp_chunk: int = -1
+    # PETSc's -ksp_monitor analogue: print per-chunk residual norms on
+    # the chunked solve path (inside a single compiled solve the
+    # residual history is not host-visible; the final iter/rerr line is
+    # always printed by the driver).
+    ksp_monitor: bool = False
     coarse_op: str = "rediscretize"  # or "galerkin_octant" (exact
     # level-1 Galerkin; comparable iteration counts, higher per-cycle cost)
     coarse_rtol: float = 1.0e-8
@@ -188,7 +193,7 @@ class TopOptConfig:
                   "ksp_maxit", "smooth_sweeps", "pde_nlvls", "pde_maxit",
                   "coarse_maxit", "ksp_gmres_restart", "ksp_chunk")
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
-                   "fused",
+                   "fused", "ksp_monitor",
                    "precise_dots", "output_cadence_vtu", "output_dat")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
                   "workdir", "dtype", "coarse_op", "operator_impl",

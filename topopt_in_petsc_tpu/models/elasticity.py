@@ -339,6 +339,14 @@ class LinearElasticity:
             maxiter=cfg.ksp_maxit,
             chunk=chunk,
             ksp_type=cfg.ksp_type,
+            callback=(
+                (lambda k, rr: print(
+                    f"  {k:4d} KSP relative residual {rr:.6e}",
+                    flush=True,
+                ))
+                if cfg.ksp_monitor
+                else None
+            ),
         )
         from topopt_in_petsc_tpu.solvers.cg import CGResult
 
@@ -413,10 +421,12 @@ class LinearElasticity:
         Runs as TWO programs (solve, then objective): the fused
         single-program version (_step_impl, used by the SPMD/fused-step
         paths) adds the (nelem, 24) objective gather on top of the
-        solver's peak buffers and OOMs one chip at 256^3."""
-        if u0 is None:
-            u0 = jnp.zeros((*self.grid.nn, 3), dtype=self.dtype)
-        res = self._solve(xPhys, u0, self.RHS, self.mask_args())
+        solver's peak buffers and OOMs one chip at 256^3.
+
+        The solve goes through solve_state so the chunked route
+        (-ksp_chunk, mandatory at giga-dof sizes — this backend kills
+        long device executions) applies to the Driver's path too."""
+        res = self.solve_state(xPhys, u0)
         fx, gx, dfdx, dgdx = self._objective(
             xPhys.astype(self.dtype), res.x
         )
