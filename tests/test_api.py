@@ -147,6 +147,40 @@ def test_fused_flag_routes_to_spmd_driver(tmp_path):
     np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
 
 
+def test_beta_continuation_parity_across_drivers(tmp_path):
+    """Projection + beta continuation: the fused and SPMD drivers must
+    reproduce the interactive Driver's trajectory THROUGH a beta change
+    (main.cc:92-98 ordering: IncreaseBeta, then FilterProject with the
+    new beta before the next solve — previously the one-program drivers
+    lagged the re-projection by one iteration)."""
+    import numpy as np
+
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.driver import run_topopt
+
+    # beta triggers at itr % 10 == 0 with feasible gx -> 12 iterations
+    # cross one continuation step
+    common = dict(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=12,
+        projectionFilter=True, beta=1.0, betaFinal=4.0,
+        dtype="float64", output_cadence_vtu=False, restart=False,
+    )
+    cfg1 = TopOptConfig(workdir=str(tmp_path / "a"), **common)
+    cfg1.validate()
+    h1 = run_topopt(cfg1)
+    cfg2 = TopOptConfig(workdir=str(tmp_path / "b"), fused=True, **common)
+    cfg2.validate()
+    h2 = run_topopt(cfg2)
+    np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
+    np.testing.assert_allclose(h2["mnd"], h1["mnd"], rtol=1e-4)
+    cfg3 = TopOptConfig(
+        workdir=str(tmp_path / "c"), mesh_shape=(2, 2, 2), **common
+    )
+    cfg3.validate()
+    h3 = run_topopt(cfg3)
+    np.testing.assert_allclose(h3["fx"], h1["fx"], rtol=1e-5)
+
+
 def test_cross_driver_restart(tmp_path):
     """Checkpoints are layout-independent: written by the split driver,
     resumed by the fused (SPMD) driver."""

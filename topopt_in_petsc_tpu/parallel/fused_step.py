@@ -34,15 +34,20 @@ class OptState(NamedTuple):
     xo1: jax.Array  # design history k-1
     xo2: jax.Array  # design history k-2
     fscale: jax.Array  # objective scale
+    beta: jax.Array  # Heaviside projection sharpness (continuation)
     fx: jax.Array  # last compliance
     gx: jax.Array  # last constraints
     ch: jax.Array  # last design change
+    mnd: jax.Array  # measure of non-discreteness (Filter.cc:206-225)
     solver_iters: jax.Array
     solver_relres: jax.Array
 
 
-def make_fused_step(cfg: TopOptConfig, mesh=None):
-    """Returns (step_fn, init_state).  step_fn: (OptState, itr) -> OptState.
+def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
+    """Returns (step_fn, init_state), or (step_fn, init_state, aux) with
+    aux = {grid, physics, filt, filt_consts} when return_aux=True (the
+    FusedDriver needs the filter for host-side beta re-projection).
+    step_fn: (OptState, itr) -> OptState.
 
     `itr` (1-based, like main.cc:54's counter) selects among three
     compiled variants matching the reference's first-iteration semantics:
@@ -66,7 +71,6 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         precise_dots=cfg.precise_dots,
     )
     dt = cfg.jnp_dtype
-    beta = jnp.asarray(cfg.beta, dt)
     eta = jnp.asarray(cfg.eta, dt)
     projection = bool(cfg.projectionFilter)
 
@@ -87,7 +91,7 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         ).astype(dt)
         dfdx = res.dfdx * fscale
         dfdx, dgdx = filt._gradients_impl(
-            s.x, s.xTilde, dfdx, res.dgdx, beta, eta, Hs,
+            s.x, s.xTilde, dfdx, res.dgdx, s.beta, eta, Hs,
             fft_consts, projection=projection,
         )
         xmin, xmax = mma._movelimit_impl(
@@ -103,13 +107,15 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         )
         ch = jnp.max(jnp.abs(x_new - s.x))
         xTilde, xPhys = filt._project_impl(
-            x_new, beta, eta, Hs, fft_consts,
+            x_new, s.beta, eta, Hs, fft_consts,
             projection=projection,
         )
+        mnd = jnp.mean(4.0 * xPhys * (1.0 - xPhys))
         return OptState(
             x=x_new, xTilde=xTilde, xPhys=xPhys, u=res.u,
             L=L, U=U, xo1=s.x, xo2=s.xo1,
-            fscale=fscale, fx=res.fx, gx=res.gx, ch=ch,
+            fscale=fscale, beta=s.beta, fx=res.fx, gx=res.gx, ch=ch,
+            mnd=mnd,
             solver_iters=res.iters, solver_relres=res.relres,
         )
 
@@ -118,19 +124,26 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
     # pre-populated asymptotes (the fused step always runs the adaptive
     # k>2 branch; the Driver handles the first two iterations)
     span = cfg.Xmax - cfg.Xmin
+    # init design goes through the same filter+projection as the
+    # Driver's STEP 6 (main.cc:50-52 FilterProject before the loop)
+    xt0, xp0 = jax.jit(
+        partial(filt._project_impl, projection=projection)
+    )(x0, jnp.asarray(cfg.beta, dt), eta, *filt_consts)
     init = OptState(
         x=x0,
-        xTilde=x0,
-        xPhys=x0,
+        xTilde=xt0,
+        xPhys=xp0,
         u=u0,
         L=x0 - 0.5 * span,
         U=x0 + 0.5 * span,
         xo1=x0,
         xo2=x0,
         fscale=jnp.asarray(1.0, dt),
+        beta=jnp.asarray(cfg.beta, dt),
         fx=jnp.asarray(0.0, dt),
         gx=jnp.zeros((cfg.m,), dt),
         ch=jnp.asarray(1.0, dt),
+        mnd=jnp.asarray(1.0, dt),
         solver_iters=jnp.asarray(0, jnp.int32),
         solver_relres=jnp.asarray(0.0, jnp.float64
                                   if cfg.precise_dots else dt),
@@ -148,8 +161,8 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         )
         shardings = OptState(
             x=es, xTilde=es, xPhys=es, u=ns, L=es, U=es, xo1=es, xo2=es,
-            fscale=rs, fx=rs, gx=rs, ch=rs, solver_iters=rs,
-            solver_relres=rs,
+            fscale=rs, beta=rs, fx=rs, gx=rs, ch=rs, mnd=rs,
+            solver_iters=rs, solver_relres=rs,
         )
         init = jax.tree_util.tree_map(jax.device_put, init, shardings)
         if rhs is not None:
@@ -193,4 +206,12 @@ def make_fused_step(cfg: TopOptConfig, mesh=None):
         key = (itr == 1, itr <= 2)
         return inner[key](s, rhs, masks, filt_consts)
 
+    if return_aux:
+        aux = {
+            "grid": grid,
+            "physics": physics,
+            "filt": filt,
+            "filt_consts": filt_consts,
+        }
+        return step_jit, init, aux
     return step_jit, init

@@ -163,17 +163,31 @@ class SpmdDriver:
             # beta continuation (main.cc:92-95), host-side scalar update
             changeBeta = False
             if self.cfg.projectionFilter:
-                from topopt_in_petsc_tpu.opt.filters import DesignFilter
+                from topopt_in_petsc_tpu.opt.filters import (
+                    DesignFilter,
+                    smooth_projection,
+                )
 
                 beta, changeBeta = DesignFilter.increase_beta(
                     float(s.beta), self.cfg.betaFinal, gx0, self.itr, ch
                 )
                 if changeBeta or beta != float(s.beta):
-                    import jax.numpy as _jnp
-
-                    self.state = self.state._replace(
-                        beta=_jnp.asarray(beta, self.engine.dtype)
-                    )
+                    beta_a = jnp.asarray(beta, self.engine.dtype)
+                    self.state = self.state._replace(beta=beta_a)
+                    if changeBeta:
+                        # reference-exact ordering (main.cc:92-98):
+                        # IncreaseBeta THEN FilterProject — re-project
+                        # xPhys with the NEW beta before the next solve.
+                        # xTilde = H x / Hs is beta-independent, so the
+                        # elementwise re-projection is exact; duplicated
+                        # halo entries stay consistent.
+                        xPhys = jax.jit(smooth_projection)(
+                            s.xTilde, beta_a,
+                            jnp.asarray(
+                                self.cfg.eta, self.engine.dtype
+                            ),
+                        )
+                        self.state = self.state._replace(xPhys=xPhys)
             if self.cfg.filter == 2 and float(s.pde_viol) > 1e-4:
                 # bound-violation warning (Filter.cc:82-97)
                 print(
