@@ -159,26 +159,33 @@ def test_beta_continuation_parity_across_drivers(tmp_path):
     from topopt_in_petsc_tpu.driver import run_topopt
 
     # beta triggers at itr % 10 == 0 with feasible gx -> 12 iterations
-    # cross one continuation step
-    common = dict(
-        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=12,
-        projectionFilter=True, beta=1.0, betaFinal=4.0,
-        dtype="float64", output_cadence_vtu=False, restart=False,
-    )
-    cfg1 = TopOptConfig(workdir=str(tmp_path / "a"), **common)
-    cfg1.validate()
-    h1 = run_topopt(cfg1)
-    cfg2 = TopOptConfig(workdir=str(tmp_path / "b"), fused=True, **common)
-    cfg2.validate()
-    h2 = run_topopt(cfg2)
-    np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
-    np.testing.assert_allclose(h2["mnd"], h1["mnd"], rtol=1e-4)
-    cfg3 = TopOptConfig(
-        workdir=str(tmp_path / "c"), mesh_shape=(2, 2, 2), **common
-    )
-    cfg3.validate()
-    h3 = run_topopt(cfg3)
-    np.testing.assert_allclose(h3["fx"], h1["fx"], rtol=1e-5)
+    # cross one continuation step.  betaFinal=4: normal increase
+    # (changed=True); betaFinal=1.5: the clamp case, which moves beta
+    # while reporting changed=False (Filter.cc:281-284) and must STILL
+    # re-project before the next solve.
+    for tag, bf in (("n", 4.0), ("c", 1.5)):
+        common = dict(
+            nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=12,
+            projectionFilter=True, beta=1.0, betaFinal=bf,
+            dtype="float64", output_cadence_vtu=False, restart=False,
+        )
+        cfg1 = TopOptConfig(workdir=str(tmp_path / f"a{tag}"), **common)
+        cfg1.validate()
+        h1 = run_topopt(cfg1)
+        cfg2 = TopOptConfig(
+            workdir=str(tmp_path / f"b{tag}"), fused=True, **common
+        )
+        cfg2.validate()
+        h2 = run_topopt(cfg2)
+        np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
+        np.testing.assert_allclose(h2["mnd"], h1["mnd"], rtol=1e-4)
+        cfg3 = TopOptConfig(
+            workdir=str(tmp_path / f"c{tag}"), mesh_shape=(2, 2, 2),
+            **common,
+        )
+        cfg3.validate()
+        h3 = run_topopt(cfg3)
+        np.testing.assert_allclose(h3["fx"], h1["fx"], rtol=1e-5)
 
 
 def test_cross_driver_restart(tmp_path):

@@ -151,7 +151,11 @@ class FusedDriver:
                 beta, changeBeta = DesignFilter.increase_beta(
                     float(s.beta), cfg.betaFinal, gx0, self.itr, ch
                 )
-                if changeBeta:
+                # changeBeta only gates the VTU cadence (main.cc:114);
+                # the clamp-to-betaFinal case moves beta with
+                # changed=False (Filter.cc:281-284) and must still
+                # re-project
+                if beta != float(s.beta):
                     beta_a = jnp.asarray(beta, self.dtype)
                     xTilde, xPhys = self._reproject(
                         s.x, beta_a, jnp.asarray(cfg.eta, self.dtype),

@@ -171,23 +171,22 @@ class SpmdDriver:
                 beta, changeBeta = DesignFilter.increase_beta(
                     float(s.beta), self.cfg.betaFinal, gx0, self.itr, ch
                 )
-                if changeBeta or beta != float(s.beta):
+                # any beta movement (incl. the clamp-to-betaFinal case,
+                # which reports changed=False, Filter.cc:281-284)
+                # re-projects: reference-exact ordering (main.cc:92-98,
+                # IncreaseBeta THEN FilterProject with the NEW beta).
+                # xTilde = H x / Hs is beta-independent, so the
+                # elementwise re-projection is exact; duplicated halo
+                # entries stay consistent.
+                if beta != float(s.beta):
                     beta_a = jnp.asarray(beta, self.engine.dtype)
-                    self.state = self.state._replace(beta=beta_a)
-                    if changeBeta:
-                        # reference-exact ordering (main.cc:92-98):
-                        # IncreaseBeta THEN FilterProject — re-project
-                        # xPhys with the NEW beta before the next solve.
-                        # xTilde = H x / Hs is beta-independent, so the
-                        # elementwise re-projection is exact; duplicated
-                        # halo entries stay consistent.
-                        xPhys = jax.jit(smooth_projection)(
-                            s.xTilde, beta_a,
-                            jnp.asarray(
-                                self.cfg.eta, self.engine.dtype
-                            ),
-                        )
-                        self.state = self.state._replace(xPhys=xPhys)
+                    xPhys = jax.jit(smooth_projection)(
+                        s.xTilde, beta_a,
+                        jnp.asarray(self.cfg.eta, self.engine.dtype),
+                    )
+                    self.state = self.state._replace(
+                        beta=beta_a, xPhys=xPhys
+                    )
             if self.cfg.filter == 2 and float(s.pde_viol) > 1e-4:
                 # bound-violation warning (Filter.cc:82-97)
                 print(
