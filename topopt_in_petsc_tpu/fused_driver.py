@@ -125,6 +125,16 @@ class FusedDriver:
     def run(self, max_iters: Optional[int] = None) -> dict:
         cfg = self.cfg
         maxItr = cfg.maxItr if max_iters is None else max_iters
+        # STEP 6 (main.cc:48-52): (re-)filter the initial or restarted
+        # design with the CURRENT beta before the loop — the reference
+        # does not checkpoint beta, so a restarted run re-projects with
+        # the CLI value (exactly like the interactive Driver)
+        s = self.state
+        xTilde, xPhys = self._reproject(
+            s.x, s.beta, jnp.asarray(cfg.eta, self.dtype),
+            *self._filt_consts,
+        )
+        self.state = s._replace(xTilde=xTilde, xPhys=xPhys)
         history = {"fx": [], "gx": [], "ch": [], "mnd": [], "iters": [],
                    "time": [], "stalled": []}
         ch = 1.0

@@ -9,6 +9,12 @@ on gathered global arrays.  Selected by the CLI when -mesh_shape is not
 Covers all filter types: convolution filters (0/1), the Helmholtz PDE
 filter (2, SpmdPDEFilter solves fused into the same program), and
 passthrough, each with optional Heaviside projection + beta continuation.
+
+Restart nuance: the reference re-runs FilterProject with the CLI beta
+before the loop (main.cc:48-52; beta is not checkpointed).  This driver
+instead resumes from the checkpointed xPhys (the projected design of the
+original run) — one iteration of difference vs the interactive Driver
+after a restart when projection continuation had advanced beta.
 """
 
 from __future__ import annotations
