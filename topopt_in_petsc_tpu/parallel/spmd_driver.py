@@ -10,11 +10,6 @@ Covers all filter types: convolution filters (0/1), the Helmholtz PDE
 filter (2, SpmdPDEFilter solves fused into the same program), and
 passthrough, each with optional Heaviside projection + beta continuation.
 
-Restart nuance: the reference re-runs FilterProject with the CLI beta
-before the loop (main.cc:48-52; beta is not checkpointed).  This driver
-instead resumes from the checkpointed xPhys (the projected design of the
-original run) — one iteration of difference vs the interactive Driver
-after a restart when projection continuation had advanced beta.
 """
 
 from __future__ import annotations
@@ -149,6 +144,17 @@ class SpmdDriver:
     def run(self, max_iters: Optional[int] = None) -> dict:
         cfg = self.cfg
         maxItr = cfg.maxItr if max_iters is None else max_iters
+        # STEP 6 (main.cc:48-52): (re-)filter the initial or restarted
+        # design with the CURRENT beta before the loop (the reference
+        # does not checkpoint beta; a restarted run re-projects with the
+        # CLI value, exactly like the interactive Driver)
+        s = self.state
+        xTilde, xPhys, u_pde = self.engine.filter_project_blk(
+            s.x, s.beta, s.u_pde
+        )
+        self.state = s._replace(
+            xTilde=xTilde, xPhys=xPhys, u_pde=u_pde
+        )
         history = {"fx": [], "gx": [], "ch": [], "mnd": [], "iters": [],
                    "time": [], "stalled": []}
         ch = 1.0

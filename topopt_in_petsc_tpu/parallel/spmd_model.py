@@ -468,6 +468,46 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         (False, False): make_step(False, False),
     }
 
+    # standalone FilterProject over the SPMD blocks (main.cc:48-52's
+    # pre-loop filter and the beta-continuation re-projection): same
+    # filter tail as the fused step, without physics/MMA
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(BLK, REP, BLK, pde_env_spec),
+        out_specs=(BLK, BLK, BLK),
+        check_vma=False,
+    )
+    def _filter_project(x_blk, beta, u_pde_blk, pde_env_blk):
+        x = peel(x_blk)
+        u_pde = peel(u_pde_blk)
+        if cfg.filter == 1:
+            Hs = conv_local(jnp.ones_like(x))
+            xTilde = conv_local(x) / Hs
+        elif cfg.filter == 2:
+            pde_env = jax.tree_util.tree_map(peel, pde_env_blk)
+            pde_env = pdef._setup_local(pde_env, x.shape)
+            xt_raw, u_pde, _, _ = pdef._solve_prepared(
+                x, u_pde, pde_env
+            )
+            xTilde = jnp.clip(xt_raw, 0.0, 1.0)
+        else:  # filter 0 (sensitivity) / passthrough: design unfiltered
+            xTilde = x
+        if projection:
+            xPhys = smooth_projection(xTilde, beta, eta)
+        else:
+            xPhys = xTilde
+        return unpeel(xTilde), unpeel(xPhys), unpeel(u_pde)
+
+    _filter_project_jit = jax.jit(_filter_project)
+
+    def filter_project_blk(x_blk, beta, u_pde_blk):
+        return _filter_project_jit(
+            x_blk, beta, u_pde_blk, pde_env_blk
+        )
+
+    engine.filter_project_blk = filter_project_blk
+
     def step_jit(st: SpmdOptState, itr: int = 3):
         key = (itr == 1, itr <= 2)
         fn = _steps[key if key in _steps else (False, False)]
