@@ -274,6 +274,44 @@ def test_cantilever_rhs_matches_nodal_builder(op_and_data):
     )
 
 
+def test_boundary_plane_get_add(op_and_data):
+    """Blocked-layout boundary-plane slice/update vs nodal slicing —
+    the primitive under the SPMD blocked halo exchange."""
+    grid, KE, op, u, E = op_and_data
+    nx, ny, nz = op.nn
+    ub = op.to_blocked(u)
+    un = np.asarray(u)
+    rng = np.random.default_rng(11)
+    for axis, n in ((0, nx), (1, ny), (2, nz)):
+        for k in (0, n - 1):
+            # get_plane holds the true values at the owned positions:
+            # round-trip through add_plane and compare against nodal add
+            plane = op.get_plane(ub, axis, k)
+            ub2 = op.add_plane(ub, axis, k, plane)  # doubles plane k
+            ref = un.copy()
+            idx = [slice(None)] * 3
+            idx[axis] = k
+            ref[tuple(idx)] *= 2.0
+            np.testing.assert_allclose(
+                np.asarray(op.from_blocked(ub2)), ref, rtol=1e-6,
+                err_msg=f"axis={axis} k={k}",
+            )
+            # adding a random plane lands exactly on plane k
+            rp = jnp.asarray(
+                rng.normal(size=plane.shape).astype(np.float32)
+            )
+            ub3 = op.add_plane(ub, axis, k, rp)
+            out = np.asarray(op.from_blocked(ub3))
+            ref2 = un.copy()
+            mask = np.zeros_like(un, dtype=bool)
+            mask[tuple(idx)] = True
+            np.testing.assert_allclose(
+                out[~mask], un[~mask], rtol=1e-6,
+                err_msg=f"off-plane touched axis={axis} k={k}",
+            )
+            assert not np.allclose(out[mask], un[mask])
+
+
 def test_absrowsum_stencil_matches_gather_form():
     grid = Grid(nn=(5, 4, 3), lo=(0, 0, 0), hi=(1, 0.7, 0.5))
     KE = jnp.asarray(hex8_stiffness(*grid.h, 0.3))

@@ -1,0 +1,157 @@
+"""Blocked-resident SPMD engine (parallel/blocked_spmd.py): halo
+exchange on blocked arrays + full per-shard MG-PCG vs the single-device
+paths, on the 8-virtual-device CPU mesh (interpret-mode kernels)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from topopt_in_petsc_tpu.config import TopOptConfig
+from topopt_in_petsc_tpu.grid import Grid
+from topopt_in_petsc_tpu.models.elasticity import (
+    LinearElasticity,
+    build_cantilever_bc,
+)
+from topopt_in_petsc_tpu.models.elements import hex8_stiffness
+from topopt_in_petsc_tpu.ops.blocked_hex import BlockedHexOperator
+from topopt_in_petsc_tpu.ops.hex_operator import apply_hex_operator
+from topopt_in_petsc_tpu.parallel.blocked_spmd import (
+    BlockedSpmdMG,
+    halo_accumulate_blocked,
+)
+from topopt_in_petsc_tpu.parallel.decomp import BlockDecomp
+from topopt_in_petsc_tpu.parallel.mesh import make_device_mesh
+from topopt_in_petsc_tpu.parallel.spmd import AXIS_NAMES, peel, unpeel
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+MESH_SHAPE = (2, 2, 2)
+NN = (17, 9, 9)
+
+
+def test_blocked_halo_matvec_matches_global():
+    """Per-shard blocked free matvec + blocked halo accumulate ==
+    global nodal operator."""
+    grid = Grid(nn=NN, lo=(0, 0, 0), hi=(2, 1, 1))
+    d = BlockDecomp(grid, MESH_SHAPE, nlvls=1)
+    mesh = make_device_mesh(MESH_SHAPE)
+    KE = hex8_stiffness(*grid.h, 0.3)
+    rng = np.random.default_rng(5)
+    u = rng.normal(size=(*NN, 3)).astype(np.float32)
+    E = rng.uniform(0.1, 1.0, size=grid.ne).astype(np.float32)
+    ref = apply_hex_operator(
+        jnp.asarray(u), jnp.asarray(E), jnp.asarray(KE, jnp.float32)
+    )
+
+    op = BlockedHexOperator(d.local_nn(0), KE, interpret=True)
+    u_blk = jnp.asarray(d.to_blocked_nodal(u))
+    E_blk = jnp.asarray(d.to_blocked_elem(E[..., None])[..., 0])
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P(*AXIS_NAMES),
+        out_specs=P(*AXIS_NAMES),
+        check_vma=False,
+    )
+    def run(u_loc, E_loc):
+        ul = peel(u_loc)
+        El = peel(E_loc)
+        vb = op.to_blocked(ul)
+        eb = op.prepare_coef(El)
+        Kv = op.matvec(op.refresh(vb), eb)
+        Kv = halo_accumulate_blocked(Kv, op, MESH_SHAPE)
+        return unpeel(op.from_blocked(Kv))
+
+    blk = run(u_blk, E_blk)
+    got = d.from_blocked_nodal(np.asarray(blk))
+    np.testing.assert_allclose(
+        got, np.asarray(ref), rtol=3e-5, atol=3e-5
+    )
+    # duplicated shard planes hold identical totals
+    b = np.asarray(blk)
+    np.testing.assert_allclose(b[0, 0, 0, -1], b[1, 0, 0, 0], rtol=1e-6)
+
+
+def test_blocked_spmd_solve_matches_single_device():
+    """Full resident-blocked SPMD MG-PCG == single-device solve."""
+    cfg = TopOptConfig(
+        nx=NN[0], ny=NN[1], nz=NN[2], nlvls=2, dtype="float32",
+        rmin=0.16, mesh_shape=MESH_SHAPE, ksp_rtol=1e-6, ksp_maxit=100,
+    )
+    cfg.validate()
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0.3, 0.9, size=(NN[0] - 1, NN[1] - 1, NN[2] - 1))
+    phys = LinearElasticity(cfg)
+    ref = phys.solve_state(jnp.asarray(x, jnp.float32))
+
+    grid = Grid.from_config(cfg)
+    d = BlockDecomp(grid, MESH_SHAPE, nlvls=cfg.nlvls)
+    mesh = make_device_mesh(MESH_SHAPE)
+    grids = grid.hierarchy(cfg.nlvls)
+    KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+    bmg = BlockedSpmdMG(
+        d, KEs, smooth_sweeps=cfg.smooth_sweeps,
+        coarse_rtol=cfg.coarse_rtol, coarse_maxit=cfg.coarse_maxit,
+        interpret=True,
+    )
+
+    # static env: per-level local masks + ownership weights
+    N_np, RHS_np = build_cantilever_bc(grid, dtype=np.float32)
+    masks = []
+    m = N_np
+    for l in range(cfg.nlvls):
+        masks.append(m)
+        m = m[::2, ::2, ::2]
+    env_blk = [
+        {
+            "mask": jnp.asarray(d.to_blocked_nodal(masks[l], level=l)),
+            "w": jnp.asarray(
+                d.ownership_weights(l, 3).astype(np.float32)
+            ),
+        }
+        for l in range(cfg.nlvls)
+    ]
+    E = phys.simp(jnp.asarray(x, jnp.float32))
+    E_blk = jnp.asarray(d.to_blocked_elem(np.asarray(E)[..., None])[..., 0])
+    b_blk = jnp.asarray(d.to_blocked_nodal(RHS_np * N_np))
+    env_spec = [
+        {"mask": P(*AXIS_NAMES), "w": P(*AXIS_NAMES)}
+        for _ in range(cfg.nlvls)
+    ]
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(*AXIS_NAMES), P(*AXIS_NAMES), env_spec),
+        out_specs=(P(*AXIS_NAMES), P(), P()),
+        check_vma=False,
+    )
+    def run(E_loc, b_loc, env_loc):
+        El = peel(E_loc)
+        bl = peel(b_loc)
+        env = [
+            {k: peel(v) for k, v in lvl.items()} for lvl in env_loc
+        ]
+        res = bmg.solve(
+            env, El, bl, jnp.zeros_like(bl),
+            rtol=cfg.ksp_rtol, maxiter=cfg.ksp_maxit,
+        )
+        return unpeel(res.x), res.iters, res.relres
+
+    u_blk, iters, relres = run(E_blk, b_blk, env_blk)
+    assert float(relres) < cfg.ksp_rtol
+    u = d.from_blocked_nodal(np.asarray(u_blk))
+    scale = float(jnp.max(jnp.abs(ref.x)))
+    np.testing.assert_allclose(
+        u, np.asarray(ref.x), rtol=1e-3, atol=2e-4 * scale
+    )
+    # same preconditioner quality: iteration counts in the same regime
+    assert abs(int(iters) - int(ref.iters)) <= 3

@@ -356,11 +356,77 @@ class BlockedHexOperator:
         zero = jnp.zeros_like(plane)
         return jnp.stack([zero, zero, plane], axis=0)
 
+    # -- boundary-plane access (SPMD halo exchange in blocked layout) -- #
+    #
+    # A width-1 halo exchange between neighbor shards needs the global
+    # boundary planes of the LOCAL block.  These helpers slice/update
+    # them directly in the blocked layout (strided row/lane slices — no
+    # full-array relayout, the whole point of the resident design).
+    # Plane shapes are canonical per axis, so ppermute between shards
+    # with identical local layouts lines up 1:1 (including halo/pad
+    # lanes, whose junk adds harmlessly into junk):
+    #   axis 0 (x = k): (dof, YB, Lcp)     rows j*R + 8 + k
+    #   axis 1 (y = k): (dof, R, ZPc)      chunk k//yc, lanes yl*ZPc..
+    #   axis 2 (z = k): (dof, rows, yc+2)  lanes yl*ZPc + k + 1
+    # After add_plane, duplicated y-chunk halo copies of the plane are
+    # stale — the next matvec's refresh() restores them (same contract
+    # as every other blocked arithmetic op).
+
+    def get_plane(self, vb: jax.Array, axis: int, k: int) -> jax.Array:
+        if axis == 0:
+            r0 = 8 + k
+            return jax.lax.slice(
+                vb,
+                (0, r0, 0),
+                (self.dof, r0 + (self.YB - 1) * self.R + 1, self.Lcp),
+                (1, self.R, 1),
+            )
+        if axis == 1:
+            j = k // self.yc
+            yl = k - j * self.yc + 1
+            return vb[
+                :,
+                j * self.R : (j + 1) * self.R,
+                yl * self.ZPc : (yl + 1) * self.ZPc,
+            ]
+        l0 = k + 1
+        return jax.lax.slice(
+            vb,
+            (0, 0, l0),
+            (self.dof, self.rows, l0 + (self.yc + 1) * self.ZPc + 1),
+            (1, 1, self.ZPc),
+        )
+
+    def add_plane(
+        self, vb: jax.Array, axis: int, k: int, plane: jax.Array
+    ) -> jax.Array:
+        if axis == 0:
+            r0 = 8 + k
+            return vb.at[:, r0 :: self.R, :].add(plane)
+        if axis == 1:
+            j = k // self.yc
+            yl = k - j * self.yc + 1
+            return vb.at[
+                :,
+                j * self.R : (j + 1) * self.R,
+                yl * self.ZPc : (yl + 1) * self.ZPc,
+            ].add(plane)
+        l0 = k + 1
+        stop = l0 + (self.yc + 1) * self.ZPc + 1
+        return vb.at[:, :, l0 : stop : self.ZPc].add(plane)
+
     def dot(self, a: jax.Array, b: jax.Array,
-            precise: bool = True) -> jax.Array:
+            precise: bool = True, w_extra: jax.Array | None = None
+            ) -> jax.Array:
         """Ownership-weighted inner product, chunked two-stage f64
-        accumulation (same rationale as solvers/cg._dot)."""
+        accumulation (same rationale as solvers/cg._dot).
+
+        `w_extra`: additional (rows, Lcp) weights — the SPMD engine
+        passes its shared-plane ownership weights so duplicated planes
+        across shards count once under the outer psum."""
         w = self.owned(jnp.float32)
+        if w_extra is not None:
+            w = w * w_extra.astype(w.dtype)
         parts = jnp.einsum(
             a, [0, 1, 2], b, [0, 1, 2], w.astype(a.dtype), [1, 2], [1],
             precision=jax.lax.Precision.HIGHEST,

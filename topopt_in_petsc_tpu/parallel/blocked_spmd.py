@@ -1,0 +1,276 @@
+"""Blocked-RESIDENT multigrid solver for the SPMD halo engine.
+
+Round 2's single-chip win (ops/blocked_hex.py + solvers/blocked_mg.py:
+solver vectors live in the Pallas kernel's layout across the whole
+solve, no per-apply relayout) applied to the multi-chip path: each
+shard keeps its LOCAL block's Krylov/smoother vectors in the blocked
+layout, and the width-1 halo exchange (the overlapping-block
+`halo_accumulate` of parallel/spmd.py) runs directly on blocked arrays
+via boundary-plane strided slices (BlockedHexOperator.get_plane /
+add_plane) + `lax.ppermute` — the per-matvec layout-conversion tax that
+the per-apply kernels pay (measured 42% at 256^3) never occurs.
+
+Layout conversions remain only at MG level hops (restrict/prolong ride
+the existing nodal `restrict_spmd`/`prolong_spmd`) and at solve
+entry/exit — exactly mirroring the single-chip blocked_mg design.
+
+Reference parity: this is the distributed MatMult + PCMG application
+(LinearElasticity.cc:204, 619-746) over the DMDA-style overlapping
+decomposition (parallel/decomp.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from topopt_in_petsc_tpu.ops.blocked_hex import BlockedHexOperator
+from topopt_in_petsc_tpu.ops.hex_operator import (
+    hex_operator_absrowsum,
+    hex_operator_diagonal,
+)
+from topopt_in_petsc_tpu.parallel.spmd import (
+    AXIS_NAMES,
+    _perm_to_higher,
+    _perm_to_lower,
+    halo_accumulate,
+    pmax_scalar,
+    prolong_spmd,
+    restrict_spmd,
+)
+from topopt_in_petsc_tpu.solvers.cg import CGResult, pcg
+from topopt_in_petsc_tpu.solvers.chebyshev import (
+    chebyshev_smooth,
+    gershgorin_lambda_max,
+)
+from topopt_in_petsc_tpu.solvers.multigrid import coarsen_cell_field
+
+
+def halo_accumulate_blocked(
+    vb: jax.Array, op: BlockedHexOperator, mesh_shape
+) -> jax.Array:
+    """Complete partial sums on shared planes, blocked layout in/out.
+
+    Semantics identical to spmd.halo_accumulate on the nodal layout:
+    per axis, both copies of a duplicated plane end up holding the
+    total (exchange uses pre-update values; axis-sequenced so corner
+    contributions compose transitively).  Plane tensors are canonical
+    per axis, so ppermute between shards with identical local layouts
+    lines up 1:1; junk in halo/pad lanes adds into junk on the other
+    side and never touches owned positions."""
+    for axis in range(3):
+        m = mesh_shape[axis]
+        if m == 1:
+            continue
+        name = AXIS_NAMES[axis]
+        n_ax = op.nn[axis]
+        lo = op.get_plane(vb, axis, 0)
+        hi = op.get_plane(vb, axis, n_ax - 1)
+        from_higher = lax.ppermute(lo, name, _perm_to_lower(m))
+        from_lower = lax.ppermute(hi, name, _perm_to_higher(m))
+        vb = op.add_plane(vb, axis, n_ax - 1, from_higher)
+        vb = op.add_plane(vb, axis, 0, from_lower)
+    return vb
+
+
+class BlockedSpmdMG:
+    """Per-shard resident-blocked MG-PCG; runs INSIDE shard_map.
+
+    Construction is host-side (static local shapes from the
+    decomposition); `setup`/`vcycle`/`solve` are traced per shard.
+    `env` is the static per-level environment of
+    spmd.SpmdMultigrid.build_static_env (local nodal mask / ownership
+    weights), which `setup` augments with the blocked quantities."""
+
+    def __init__(
+        self,
+        decomp,
+        KEs: Sequence[np.ndarray],
+        *,
+        dof: int = 3,
+        dtype=jnp.float32,
+        smooth_sweeps: int = 4,
+        cheby_lower: float = 0.06,
+        cheby_upper: float = 1.1,
+        coarse_rtol: float = 1e-8,
+        coarse_maxit: int = 30,
+        precise_dots: bool = True,
+        interpret: bool = False,
+    ):
+        self.mesh_shape = decomp.mesh_shape
+        self.nlvls = decomp.nlvls
+        self.dof = dof
+        self.dtype = dtype
+        self.KEs = [jnp.asarray(k, dtype) for k in KEs]
+        self.ops: List[BlockedHexOperator] = [
+            BlockedHexOperator(
+                decomp.local_nn(l), np.asarray(KEs[l]), dof=dof,
+                interpret=interpret,
+            )
+            for l in range(self.nlvls)
+        ]
+        self.smooth_sweeps = smooth_sweeps
+        self.cheby_lower = cheby_lower
+        self.cheby_upper = cheby_upper
+        self.coarse_rtol = coarse_rtol
+        self.coarse_maxit = coarse_maxit
+        self.precise = precise_dots
+
+    # -- per-solve setup (traced, inside shard_map) -------------------- #
+
+    def setup(self, env, scale_fine: jax.Array):
+        """Augment env with per-level blocked quantities: eb (kernel
+        coefficient), maskb, dinvb, wcomb (combined ownership weights
+        for dots), lmax.  Nodal stencil math identical to
+        SpmdMultigrid.setup (rediscretized coarsening)."""
+        Es = [scale_fine.astype(self.dtype)]
+        for l in range(1, self.nlvls):
+            Es.append(coarsen_cell_field(Es[-1]))
+        out = []
+        for l in range(self.nlvls):
+            lvl = dict(env[l])
+            op = self.ops[l]
+            coef = Es[l]
+            nn = tuple(s + 1 for s in coef.shape)
+            d = hex_operator_diagonal(coef, self.KEs[l], nn)
+            R = hex_operator_absrowsum(coef, self.KEs[l], nn)
+            d = halo_accumulate(d, self.mesh_shape)
+            R = halo_accumulate(R, self.mesh_shape)
+            mask = lvl.get("mask")
+            if mask is not None:
+                d = mask * d + (1.0 - mask)
+            lmax = pmax_scalar(gershgorin_lambda_max(R, d, mask))
+            lvl["eb"] = op.prepare_coef(coef)
+            lvl["dinvb"] = op.to_blocked(1.0 / d)
+            lvl["maskb"] = (
+                op.to_blocked(mask) if mask is not None else None
+            )
+            lvl["wcomb"] = (
+                op.to_blocked(lvl["w"]).astype(jnp.float32)
+                * op.owned(jnp.float32)[None]
+            )
+            lvl["lmax"] = lmax
+            out.append(lvl)
+        return out
+
+    # -- blocked operator application ---------------------------------- #
+
+    def apply(self, level: int, lvl, vb: jax.Array) -> jax.Array:
+        """Masked distributed K@v on blocked arrays:
+        N^T K N + (I - N) with halo accumulation."""
+        op = self.ops[level]
+        maskb = lvl["maskb"]
+        v = maskb * vb if maskb is not None else vb
+        Kv = op.matvec(op.refresh(v), lvl["eb"])
+        Kv = halo_accumulate_blocked(Kv, op, self.mesh_shape)
+        if maskb is not None:
+            Kv = maskb * Kv + (1.0 - maskb) * vb
+        return Kv
+
+    def dot_fn(self, lvl):
+        """Globally-correct inner product on blocked arrays: combined
+        ownership weights (shard-duplication x layout-duplication) then
+        psum over the mesh."""
+        w = lvl["wcomb"]
+        precise = self.precise
+
+        def dot(a, b):
+            parts = jnp.einsum(
+                a, [0, 1, 2], b, [0, 1, 2], w.astype(a.dtype),
+                [0, 1, 2], [1],
+                precision=lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            if precise and a.dtype != jnp.float64:
+                s = jnp.sum(parts, dtype=jnp.float64)
+            else:
+                s = jnp.sum(parts)
+            return lax.psum(s, AXIS_NAMES)
+
+        return dot
+
+    # -- V-cycle -------------------------------------------------------- #
+
+    def vcycle(self, env, b: jax.Array, level: int = 0) -> jax.Array:
+        lvl = env[level]
+        op = self.ops[level]
+        A = partial(self.apply, level, lvl)
+
+        if level == self.nlvls - 1:
+            res = pcg(
+                A,
+                b,
+                jnp.zeros_like(b),
+                M=lambda r: lvl["dinvb"] * r,
+                rtol=self.coarse_rtol,
+                maxiter=self.coarse_maxit,
+                flexible=False,
+                dot=self.dot_fn(lvl),
+            )
+            return res.x
+
+        smooth = lambda bb, xx, **kw: chebyshev_smooth(
+            A, bb, xx, lvl["dinvb"], lvl["lmax"],
+            degree=self.smooth_sweeps,
+            lower=self.cheby_lower, upper=self.cheby_upper, **kw,
+        )
+        x = smooth(b, b, x_is_zero=True)
+        r = b - A(x)
+        # level hop through the local nodal layout (restrict/prolong
+        # ride the existing halo-aware SPMD transfer operators)
+        opc = self.ops[level + 1]
+        nxt = env[level + 1]
+        rc = restrict_spmd(op.from_blocked(r), self.mesh_shape)
+        rcb = opc.to_blocked(rc)
+        if nxt["maskb"] is not None:
+            rcb = nxt["maskb"] * rcb
+        ecb = self.vcycle(env, rcb, level + 1)
+        e = prolong_spmd(opc.from_blocked(ecb))
+        eb = op.to_blocked(e)
+        if lvl["maskb"] is not None:
+            eb = lvl["maskb"] * eb
+        x = x + eb
+        x = smooth(b, x)
+        return x
+
+    # -- outer solve ----------------------------------------------------- #
+
+    def solve(
+        self,
+        env,
+        scale_fine: jax.Array,
+        b: jax.Array,
+        x0: jax.Array,
+        *,
+        rtol: float = 1e-5,
+        maxiter: int = 200,
+        ksp_type: str = "fcg",
+    ):
+        """Solve K u = b for LOCAL nodal b/x0 (consistent overlapping
+        vectors); returns (u_local_nodal, iters, relres).  All inner
+        work runs on resident blocked arrays."""
+        env = self.setup(env, scale_fine)
+        op0 = self.ops[0]
+        lvl0 = env[0]
+        A = partial(self.apply, 0, lvl0)
+        M = lambda r: self.vcycle(env, r)
+        res = pcg(
+            A,
+            op0.to_blocked(b),
+            op0.to_blocked(x0),
+            M,
+            rtol=rtol,
+            maxiter=maxiter,
+            flexible=(ksp_type != "cg"),
+            dot=self.dot_fn(lvl0),
+        )
+        return CGResult(
+            x=op0.from_blocked(res.x, self.dtype),
+            iters=res.iters,
+            relres=res.relres,
+        )
