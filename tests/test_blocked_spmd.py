@@ -80,6 +80,43 @@ def test_blocked_halo_matvec_matches_global():
     np.testing.assert_allclose(b[0, 0, 0, -1], b[1, 0, 0, 0], rtol=1e-6)
 
 
+def test_spmd_engine_blocked_impl_matches_xla():
+    """SpmdElasticity with operator_impl='blocked' (the TPU multi-chip
+    default) == the XLA nodal path, through the full physics step."""
+    from topopt_in_petsc_tpu.parallel.spmd_model import SpmdElasticity
+
+    common = dict(
+        nx=NN[0], ny=NN[1], nz=NN[2], nlvls=2, dtype="float32",
+        rmin=0.16, mesh_shape=MESH_SHAPE,
+    )
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0.2, 0.9, size=(NN[0] - 1, NN[1] - 1, NN[2] - 1))
+
+    cfg1 = TopOptConfig(**common)
+    cfg1.validate()
+    e1 = SpmdElasticity(cfg1)
+    ref = e1.compute_objective_constraints_sensitivities(
+        e1.blocked_elem(x), e1.zeros_nodal_blk()
+    )
+
+    cfg2 = TopOptConfig(operator_impl="blocked", **common)
+    cfg2.validate()
+    e2 = SpmdElasticity(cfg2)
+    assert e2._bspmd is not None
+    got = e2.compute_objective_constraints_sensitivities(
+        e2.blocked_elem(x), e2.zeros_nodal_blk()
+    )
+
+    assert float(got[3]) == pytest.approx(float(ref[3]), rel=1e-4)  # fx
+    u_ref = e1.decomp.from_blocked_nodal(np.asarray(ref[0]))
+    u_got = e2.decomp.from_blocked_nodal(np.asarray(got[0]))
+    scale = np.max(np.abs(u_ref))
+    np.testing.assert_allclose(
+        u_got, u_ref, rtol=1e-3, atol=2e-4 * scale
+    )
+    assert abs(int(got[1]) - int(ref[1])) <= 3  # iters
+
+
 def test_blocked_spmd_solve_matches_single_device():
     """Full resident-blocked SPMD MG-PCG == single-device solve."""
     cfg = TopOptConfig(

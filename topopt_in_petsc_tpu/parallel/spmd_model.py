@@ -76,16 +76,49 @@ class SpmdElasticity:
         # built for the per-device block shape (the halo engine's local
         # apply is the same free-BC hex operator the kernel computes;
         # halo_accumulate completes it across blocks)
+        on_tpu = jax.devices()[0].platform == "tpu"
         impl = cfg.operator_impl
         if impl == "auto":
-            impl = (
-                "pallas"
-                if jax.devices()[0].platform == "tpu"
-                else "xla"
-            )
+            impl = "blocked" if on_tpu else "xla"
+        if impl == "blocked" and (
+            cfg.dtype != "float32" or cfg.ksp_type == "fgmres"
+        ):
+            # the blocked kernel stack is f32 fcg/cg; fall back to the
+            # nodal operators for f64 or FGMRES configurations
+            impl = "pallas" if on_tpu else "xla"
         fine_apply = None
         level_applies = None
         self._pallas_quadform = None
+        self._bspmd = None
+        if impl == "blocked":
+            from topopt_in_petsc_tpu.parallel.blocked_spmd import (
+                BlockedSpmdMG,
+            )
+
+            # per-shard RESIDENT blocked solver: vectors stay in the
+            # kernel layout across the whole local solve, halos ride
+            # blocked boundary planes (parallel/blocked_spmd.py) — no
+            # per-apply relayout (the pallas path's 42%/matvec tax)
+            self._bspmd = BlockedSpmdMG(
+                self.decomp,
+                KEs,
+                dof=3,
+                smooth_sweeps=cfg.smooth_sweeps,
+                cheby_lower=cfg.cheby_lower,
+                cheby_upper=cfg.cheby_upper,
+                coarse_rtol=cfg.coarse_rtol,
+                coarse_maxit=cfg.coarse_maxit,
+                precise_dots=cfg.precise_dots,
+                interpret=not on_tpu,
+            )
+            if on_tpu:
+                from topopt_in_petsc_tpu.ops.pallas_hex import (
+                    make_pallas_quadform,
+                )
+
+                self._pallas_quadform = make_pallas_quadform(
+                    self.decomp.local_nn(0), KEs[0]
+                )
         if impl == "pallas":
             from topopt_in_petsc_tpu.ops.pallas_hex import (
                 make_pallas_hex_apply,
@@ -175,16 +208,25 @@ class SpmdElasticity:
         """Runs INSIDE shard_map on local blocks."""
         cfg = self.cfg
         E = self.simp(x.astype(self.dtype))
-        env = self.mg.setup(env, E)
-        A = partial(self.mg.apply, 0, env)
-        M = lambda r: self.mg.vcycle(env, r)
-        dot = make_psum_dot(env[0]["w"], self.cfg.precise_dots)
-        res = pcg(
-            A, rhs, u0, M,
-            rtol=cfg.ksp_rtol, maxiter=cfg.ksp_maxit,
-            flexible=True, dot=dot,
-        )
-        u = res.x
+        if self._bspmd is not None:
+            # resident-blocked local solve (parallel/blocked_spmd.py)
+            res = self._bspmd.solve(
+                env, E, rhs, u0,
+                rtol=cfg.ksp_rtol, maxiter=cfg.ksp_maxit,
+                ksp_type=cfg.ksp_type,
+            )
+            u = res.x
+        else:
+            env = self.mg.setup(env, E)
+            A = partial(self.mg.apply, 0, env)
+            M = lambda r: self.mg.vcycle(env, r)
+            dot = make_psum_dot(env[0]["w"], self.cfg.precise_dots)
+            res = pcg(
+                A, rhs, u0, M,
+                rtol=cfg.ksp_rtol, maxiter=cfg.ksp_maxit,
+                flexible=True, dot=dot,
+            )
+            u = res.x
 
         # objective / constraints / sensitivities
         if self._pallas_quadform is not None:
