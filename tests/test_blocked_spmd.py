@@ -117,6 +117,37 @@ def test_spmd_engine_blocked_impl_matches_xla():
     assert abs(int(got[1]) - int(ref[1])) <= 3  # iters
 
 
+def test_blocked_fallback_warns(capsys):
+    """Requesting -operator_impl blocked with a config the resident
+    stack can't run (fgmres / f64) falls back LOUDLY, not silently."""
+    from topopt_in_petsc_tpu.parallel.spmd_model import SpmdElasticity
+
+    common = dict(
+        nx=NN[0], ny=NN[1], nz=NN[2], nlvls=2, rmin=0.16,
+        mesh_shape=MESH_SHAPE,
+    )
+    cfg = TopOptConfig(
+        operator_impl="blocked", ksp_type="fgmres", dtype="float32",
+        **common,
+    )
+    cfg.validate()
+    e = SpmdElasticity(cfg)
+    assert e._bspmd is None
+    out = capsys.readouterr().out
+    assert "does not support ksp_type=fgmres" in out
+
+    # single-chip analogue: float64 config downgrades to the xla path
+    cfg2 = TopOptConfig(
+        nx=9, ny=5, nz=5, nlvls=2, dtype="float64",
+        operator_impl="blocked",
+    )
+    cfg2.validate()
+    phys = LinearElasticity(cfg2)
+    assert phys._bsolver is None
+    out = capsys.readouterr().out
+    assert "float32-only" in out
+
+
 def test_blocked_spmd_solve_matches_single_device():
     """Full resident-blocked SPMD MG-PCG == single-device solve."""
     cfg = TopOptConfig(

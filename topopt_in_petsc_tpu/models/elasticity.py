@@ -102,6 +102,16 @@ class LinearElasticity:
         impl = cfg.operator_impl
         if impl == "auto":
             impl = "blocked" if on_tpu else "xla"
+        if impl == "blocked" and cfg.dtype != "float32":
+            # the blocked kernel stack is f32-only; a float64 config
+            # must not silently get an f32 solve — fall back to the
+            # nodal XLA operators (full-dtype MG) and say so
+            impl = "xla"
+            print(
+                f"# operator_impl '{cfg.operator_impl}': blocked-"
+                f"resident solver is float32-only; using 'xla' for "
+                f"dtype={cfg.dtype}"
+            )
         self._pallas_apply = None
         self._pallas_quadform = None
         self._bsolver = None

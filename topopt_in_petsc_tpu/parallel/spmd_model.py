@@ -84,8 +84,19 @@ class SpmdElasticity:
             cfg.dtype != "float32" or cfg.ksp_type == "fgmres"
         ):
             # the blocked kernel stack is f32 fcg/cg; fall back to the
-            # nodal operators for f64 or FGMRES configurations
+            # nodal operators for f64 or FGMRES configurations — loudly,
+            # so `-operator_impl blocked -ksp_type fgmres` is visibly a
+            # different engine than requested
+            reason = (
+                f"ksp_type={cfg.ksp_type}"
+                if cfg.ksp_type == "fgmres"
+                else f"dtype={cfg.dtype}"
+            )
             impl = "pallas" if on_tpu else "xla"
+            print(
+                f"# operator_impl '{cfg.operator_impl}': blocked-resident"
+                f" solver does not support {reason}; using '{impl}'"
+            )
         fine_apply = None
         level_applies = None
         self._pallas_quadform = None
