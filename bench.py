@@ -162,11 +162,8 @@ def bench_solve(nelem_axis: int):
     return dt, int(res.iters), float(res.relres), cfg
 
 
-def bench_solve_512():
-    """BASELINE #5's single-chip leg: the 512^3 (405M dof) state solve.
-
-    bf16 V-cycle storage (auto at this size), f32 outer FCG, chunked
-    host loop (this backend kills >1-2 min device executions)."""
+def setup_512():
+    """Build the 512^3 problem (compile happens on the first solve)."""
     from topopt_in_petsc_tpu.config import TopOptConfig
     from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
 
@@ -178,15 +175,28 @@ def bench_solve_512():
     cfg.validate()
     phys = LinearElasticity(cfg)
     x = jnp.full(phys.grid.ne, cfg.volfrac, dtype=jnp.float32)
-    res = phys.solve_state(x)  # compile + first solve
+    return phys, x, cfg
+
+
+def warm_512(phys, x):
+    """Compile + first solve (the cold-cache Mosaic build of the 512^3
+    programs can take 20+ minutes; it gets its OWN stage/timeout so a
+    cache-invalidating jax bump degrades to a reported warm-up failure
+    instead of silently eating the measured stage)."""
+    res = phys.solve_state(x)
     _sync(res.x)
-    iters1 = int(res.iters)
-    del res
+    return int(res.iters)
+
+
+def measure_512(phys, x):
+    """Timed 512^3 (405M dof) state solve: bf16 V-cycle storage (auto at
+    this size), f32 outer FCG, host-chunked Krylov loop (this backend
+    kills >1-2 min device executions)."""
     t0 = time.perf_counter()
     res = phys.solve_state(x)
     _sync(res.x)
     dt = time.perf_counter() - t0
-    return dt, int(res.iters), float(res.relres), iters1, cfg
+    return dt, int(res.iters), float(res.relres)
 
 
 def bench_opt_iter(nelem_axis: int, nlvls: int = 4):
@@ -215,28 +225,91 @@ def bench_opt_iter(nelem_axis: int, nlvls: int = 4):
     return time.perf_counter() - t0, s2
 
 
+def emit(value, vs_baseline, metric, stages):
+    """The contract: exactly ONE json line on stdout, ALWAYS — a downed
+    TPU backend reports as status fields, never a stack trace."""
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": value,
+                "unit": "nnz/s",
+                "vs_baseline": vs_baseline,
+                "stages": stages,
+            }
+        )
+    )
+
+
 def main():
+    stages: dict = {}
+
+    # --- backend probe: jax.devices() HANGS inside native gRPC when
+    # the TPU tunnel is down (SIGALRM can't interrupt it — the handler
+    # never runs while the main thread is blocked in C++), so probe in
+    # a SUBPROCESS with a hard kill.  It exits before this process
+    # touches the chip (only one TPU client at a time). ---
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax; d = jax.devices()[0]; "
+                "print(d.platform, getattr(d, 'device_kind', '?'))",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=240,
+        )
+        probe_ok = probe.returncode == 0
+        probe_msg = (probe.stdout if probe_ok else probe.stderr).strip()
+    except subprocess.TimeoutExpired:
+        probe_ok = False
+        probe_msg = "timeout: jax.devices() hung (tunnel down)"
+    if not probe_ok:
+        log(f"backend probe failed: {probe_msg.splitlines()[-1][:300]}")
+        stages["backend"] = {
+            "ok": False,
+            "error": probe_msg.splitlines()[-1][:300] if probe_msg
+            else "backend init failed",
+        }
+        emit(None, None, "elasticity_spmv_nnz_per_s", stages)
+        return
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    stages["backend"] = {
+        "ok": True, "platform": dev.platform,
+        "kind": str(getattr(dev, "device_kind", "?")),
+    }
 
     # --- primary: SpMV nnz/s at 256^3, blocked-resident kernel
     # (fallbacks: per-apply pallas, xla form, then 128^3) ---
+    nnz_s = None
+    ne = 0
     for ne, impl in ((256, "blocked"), (256, "pallas"), (256, "xla"),
                      (128, "blocked"), (128, "xla")):
         try:
             with stage_timeout(560):
                 dt, grid = bench_spmv(ne, impl)
             log(f"spmv impl={impl}")
+            ndof = 3 * grid.nnode
+            nnz_s = 27 * 9 * ndof / dt
+            log(
+                f"spmv {ne}^3: {dt * 1e3:.3f} ms/matvec, ndof={ndof:,},"
+                f" eff {nnz_s / 1e9:.2f} Gnnz/s"
+            )
+            stages["spmv"] = {
+                "ok": True, "size": ne, "impl": impl,
+                "ms_per_matvec": dt * 1e3, "gnnz_s": nnz_s / 1e9,
+            }
             break
         except (StageTimeout, Exception) as e:  # noqa: BLE001
             log(f"spmv@{ne}^3[{impl}] failed: {type(e).__name__}: {e}")
-    ndof = 3 * grid.nnode
-    nnz_eff = 27 * 9 * ndof
-    nnz_s = nnz_eff / dt
-    log(
-        f"spmv {ne}^3: {dt * 1e3:.3f} ms/matvec, ndof={ndof:,}, "
-        f"eff {nnz_s / 1e9:.2f} Gnnz/s"
-    )
+            stages["spmv"] = {
+                "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
+            }
 
     # --- diagnostics: MG-PCG solve + full opt iteration at 128^3 ---
     try:
@@ -247,8 +320,14 @@ def main():
             f"solve 128^3: {sdt:.3f} s, iters={iters}, relres={relres:.2e},"
             f" PCG {dof_s / 1e6:.1f} Mdof*iter/s"
         )
+        stages["solve_128"] = {
+            "ok": True, "s": sdt, "iters": iters, "relres": relres,
+        }
     except (StageTimeout, Exception) as e:  # noqa: BLE001
         log(f"solve bench failed: {type(e).__name__}: {e}")
+        stages["solve_128"] = {
+            "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
+        }
 
     try:
         with stage_timeout(420):
@@ -257,8 +336,15 @@ def main():
             f"opt-iter 128^3: {it_dt:.3f} s/iteration "
             f"(solver_iters={int(s2.solver_iters)}, fx={float(s2.fx):.4f})"
         )
+        stages["opt_iter_128"] = {
+            "ok": True, "s_per_iter": it_dt,
+            "solver_iters": int(s2.solver_iters),
+        }
     except (StageTimeout, Exception) as e:  # noqa: BLE001
         log(f"opt-iter bench failed: {type(e).__name__}: {e}")
+        stages["opt_iter_128"] = {
+            "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
+        }
 
     # BASELINE.md config #4: wall-clock per opt iteration at 256^3
     # (fused single-program step, 5-level MG, one chip)
@@ -269,32 +355,61 @@ def main():
             f"opt-iter 256^3 (fused): {it_dt:.3f} s/iteration "
             f"(solver_iters={int(s2.solver_iters)}, fx={float(s2.fx):.4f})"
         )
+        stages["opt_iter_256"] = {
+            "ok": True, "s_per_iter": it_dt,
+            "solver_iters": int(s2.solver_iters),
+        }
     except (StageTimeout, Exception) as e:  # noqa: BLE001
         log(f"opt-iter 256^3 bench failed: {type(e).__name__}: {e}")
+        stages["opt_iter_256"] = {
+            "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
+        }
 
     s2 = None  # release the 256^3 OptState before the 512^3 stage (HBM)
 
-    # BASELINE.md config #5's single-chip leg: 512^3 (405M dof) solve
+    # BASELINE.md config #5's single-chip leg: 512^3 (405M dof) solve,
+    # split warm-up (compile-heavy, own generous budget) / measure
+    phys5 = None
     try:
-        with stage_timeout(1500):
-            sdt, iters, relres, iters1, cfg5 = bench_solve_512()
-        log(
-            f"solve 512^3 (405M dof, one chip): {sdt:.1f} s, "
-            f"iters={iters}, relres={relres:.2e}, "
-            f"PCG {cfg5.ndof * max(iters, 1) / sdt / 1e6:.0f} Mdof*iter/s"
-        )
+        with stage_timeout(60):
+            phys5, x5, cfg5 = setup_512()
+        with stage_timeout(2400):
+            t0 = time.perf_counter()
+            warm_iters = warm_512(phys5, x5)
+            log(
+                f"512^3 warm-up (compile + first solve): "
+                f"{time.perf_counter() - t0:.1f} s, iters={warm_iters}"
+            )
+        stages["warm_512"] = {"ok": True, "iters": warm_iters}
     except (StageTimeout, Exception) as e:  # noqa: BLE001
-        log(f"solve 512^3 bench failed: {type(e).__name__}: {e}")
-
-    print(
-        json.dumps(
-            {
-                "metric": f"elasticity_spmv_nnz_per_s_{ne}^3",
-                "value": nnz_s,
-                "unit": "nnz/s",
-                "vs_baseline": nnz_s / PER_CORE_CPU_NNZ_S,
+        log(f"512^3 warm-up failed: {type(e).__name__}: {e}")
+        stages["warm_512"] = {
+            "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
+        }
+        phys5 = None
+    if phys5 is not None:
+        try:
+            with stage_timeout(900):
+                sdt, iters, relres = measure_512(phys5, x5)
+            log(
+                f"solve 512^3 (405M dof, one chip): {sdt:.1f} s, "
+                f"iters={iters}, relres={relres:.2e}, PCG "
+                f"{cfg5.ndof * max(iters, 1) / sdt / 1e6:.0f} Mdof*iter/s"
+            )
+            stages["solve_512"] = {
+                "ok": True, "s": sdt, "iters": iters, "relres": relres,
             }
-        )
+        except (StageTimeout, Exception) as e:  # noqa: BLE001
+            log(f"solve 512^3 bench failed: {type(e).__name__}: {e}")
+            stages["solve_512"] = {
+                "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
+            }
+
+    emit(
+        nnz_s,
+        None if nnz_s is None else nnz_s / PER_CORE_CPU_NNZ_S,
+        f"elasticity_spmv_nnz_per_s_{ne}^3",
+        stages,
     )
 
 
