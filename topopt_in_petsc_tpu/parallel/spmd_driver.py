@@ -90,31 +90,51 @@ class SpmdDriver:
 
     # ------------------------------------------------------------- #
 
-    def _gather_elem(self, blk):
-        """ONE blocked element field -> global numpy (IO only).
+    def _scratch(self):
+        return os.path.join(self.cfg.workdir, ".podio")
+
+    def _gather_elem(self, blk, tag="f"):
+        """ONE blocked element field -> global numpy on the PRIMARY
+        process (None elsewhere); COLLECTIVE on multi-host.
 
         Per-field gathers bound peak host memory to ~1 field instead of
         the whole 8-field state (the round-1 `_globals()` cliff; at
-        512^3 each element field is ~0.5 GB on the host)."""
-        d = self.engine.decomp
-        return d.from_blocked_elem(np.asarray(blk)[..., None])[..., 0]
+        512^3 each element field is ~0.5 GB on the host).  Pod-safe:
+        parallel/podio.py assembles from addressable shards (single
+        host) or per-process shard dumps + primary stitch (multi-host,
+        the reference's collective MPI-IO role, MPIIO.cc:380-714)."""
+        from topopt_in_petsc_tpu.parallel.podio import gather_blocked
 
-    def _gather_nodal(self, blk):
-        return self.engine.decomp.from_blocked_nodal(np.asarray(blk))
+        g = gather_blocked(blk, scratch_dir=self._scratch(), tag=tag)
+        if g is None:
+            return None
+        d = self.engine.decomp
+        return d.from_blocked_elem(g[..., None])[..., 0]
+
+    def _gather_nodal(self, blk, tag="u"):
+        from topopt_in_petsc_tpu.parallel.podio import gather_blocked
+
+        g = gather_blocked(blk, scratch_dir=self._scratch(), tag=tag)
+        if g is None:
+            return None
+        return self.engine.decomp.from_blocked_nodal(g)
 
     def _write_outputs(self, itr, final=False):
         from topopt_in_petsc_tpu.parallel.multihost import is_primary
 
-        if not is_primary():
-            return
         cfg = self.cfg
-        if not (cfg.output_cadence_vtu or self.dat is not None):
+        # condition must be process-independent (the gathers below are
+        # collective): cfg.output_dat, not `self.dat is not None`
+        # (the MPIIODat writer object exists only on the primary)
+        if not (cfg.output_cadence_vtu or cfg.output_dat):
             return
         s = self.state
-        x = self._gather_elem(s.x)
-        xTilde = self._gather_elem(s.xTilde)
-        xPhys = self._gather_elem(s.xPhys)
-        u = self._gather_nodal(s.u)
+        x = self._gather_elem(s.x, "x")
+        xTilde = self._gather_elem(s.xTilde, "xTilde")
+        xPhys = self._gather_elem(s.xPhys, "xPhys")
+        u = self._gather_nodal(s.u, "u")
+        if not is_primary():
+            return
         if self.dat is not None:
             self.dat.write_fields(
                 itr,
@@ -128,16 +148,22 @@ class SpmdDriver:
     def _write_restart(self):
         from topopt_in_petsc_tpu.parallel.multihost import is_primary
 
+        s = self.state
+        # collective gathers run on EVERY process; only the primary's
+        # RestartManager writes (it holds the global arrays, the others
+        # get None back)
+        fields = (
+            self._gather_elem(s.x, "x"),
+            self._gather_elem(s.xPhys, "xPhys"),
+            self._gather_elem(s.xo1, "xo1"),
+            self._gather_elem(s.xo2, "xo2"),
+            self._gather_elem(s.U, "U"),
+            self._gather_elem(s.L, "L"),
+            self._gather_nodal(s.u, "u"),
+        )
         if not is_primary():
             return
-        s = self.state
-        self.restart_mgr.write(
-            self.itr, float(s.fscale),
-            self._gather_elem(s.x), self._gather_elem(s.xPhys),
-            self._gather_elem(s.xo1), self._gather_elem(s.xo2),
-            self._gather_elem(s.U), self._gather_elem(s.L),
-            self._gather_nodal(s.u),
-        )
+        self.restart_mgr.write(self.itr, float(s.fscale), *fields)
 
     # ------------------------------------------------------------- #
 

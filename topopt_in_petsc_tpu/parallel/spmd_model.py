@@ -186,7 +186,12 @@ class SpmdElasticity:
         self._solve_sm = self._build_solve()
 
     def _put_blk(self, arr):
-        return jax.device_put(arr, NamedSharding(self.mesh, BLK))
+        # pod-safe: make_array_from_callback places only this process's
+        # addressable blocks (device_put of a host-global array fails
+        # on multi-host where shards are non-addressable)
+        from topopt_in_petsc_tpu.parallel.podio import put_blocked
+
+        return put_blocked(arr, NamedSharding(self.mesh, BLK))
 
     # -- blocked-layout helpers (host side) ---------------------------- #
 
