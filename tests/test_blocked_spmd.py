@@ -117,6 +117,47 @@ def test_spmd_engine_blocked_impl_matches_xla():
     assert abs(int(got[1]) - int(ref[1])) <= 3  # iters
 
 
+def test_blocked_spmd_dot_accuracy():
+    """dot_fn == the exact (math.fsum) global inner product to f64
+    accumulation grade: per-row f32 partials + f64 across partials +
+    psum, duplicated shard planes counted once (VERDICT r2 weak #6)."""
+    import math
+
+    grid = Grid(nn=NN, lo=(0, 0, 0), hi=(2, 1, 1))
+    d = BlockDecomp(grid, MESH_SHAPE, nlvls=1)
+    mesh = make_device_mesh(MESH_SHAPE)
+    KE = hex8_stiffness(*grid.h, 0.3)
+    bmg = BlockedSpmdMG(d, [KE], interpret=True, precise_dots=True)
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(*NN, 3)).astype(np.float32)
+    b = rng.normal(size=(*NN, 3)).astype(np.float32)
+    exact = math.fsum(
+        (a.astype(np.float64) * b.astype(np.float64)).ravel()
+    )
+
+    w = jnp.asarray(d.ownership_weights(0, 3).astype(np.float32))
+    a_blk = jnp.asarray(d.to_blocked_nodal(a))
+    b_blk = jnp.asarray(d.to_blocked_nodal(b))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(*AXIS_NAMES),) * 3,
+        out_specs=P(),
+        check_vma=False,
+    )
+    def run(a_loc, b_loc, w_loc):
+        op = bmg.ops[0]
+        lvl = {"wshard": op.to_blocked(peel(w_loc))[0]}
+        ab = op.to_blocked(peel(a_loc))
+        bb = op.to_blocked(peel(b_loc))
+        return bmg.dot_fn(0, lvl)(ab, bb)
+
+    got = float(run(a_blk, b_blk, w))
+    assert got == pytest.approx(exact, rel=2e-7)
+
+
 def test_blocked_fallback_warns(capsys):
     """Requesting -operator_impl blocked with a config the resident
     stack can't run (fgmres / f64) falls back LOUDLY, not silently."""

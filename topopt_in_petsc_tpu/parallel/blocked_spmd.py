@@ -125,7 +125,7 @@ class BlockedSpmdMG:
 
     def setup(self, env, scale_fine: jax.Array):
         """Augment env with per-level blocked quantities: eb (kernel
-        coefficient), maskb, dinvb, wcomb (combined ownership weights
+        coefficient), maskb, dinvb, wshard (shard-duplication weights
         for dots), lmax.  Nodal stencil math identical to
         SpmdMultigrid.setup (rediscretized coarsening)."""
         Es = [scale_fine.astype(self.dtype)]
@@ -150,10 +150,13 @@ class BlockedSpmdMG:
             lvl["maskb"] = (
                 op.to_blocked(mask) if mask is not None else None
             )
-            lvl["wcomb"] = (
-                op.to_blocked(lvl["w"]).astype(jnp.float32)
-                * op.owned(jnp.float32)[None]
-            )
+            # shard-duplication weights in the blocked layout; the dof
+            # components are identical (ownership is per NODE), so one
+            # (rows, Lcp) slice feeds BlockedHexOperator.dot's w_extra
+            # (which multiplies in the layout-duplication weights)
+            lvl["wshard"] = op.to_blocked(
+                lvl["w"].astype(jnp.float32)
+            )[0]
             lvl["lmax"] = lmax
             out.append(lvl)
         return out
@@ -172,24 +175,18 @@ class BlockedSpmdMG:
             Kv = maskb * Kv + (1.0 - maskb) * vb
         return Kv
 
-    def dot_fn(self, lvl):
-        """Globally-correct inner product on blocked arrays: combined
-        ownership weights (shard-duplication x layout-duplication) then
-        psum over the mesh."""
-        w = lvl["wcomb"]
+    def dot_fn(self, level: int, lvl):
+        """Globally-correct inner product on blocked arrays: the
+        single-chip chunked two-stage reduction (per-row f32 partials,
+        f64 across partials — BlockedHexOperator.dot, same accuracy
+        rationale as solvers/cg._dot) with the shard-duplication
+        weights folded in via `w_extra`, then psum over the mesh."""
+        op = self.ops[level]
+        wshard = lvl["wshard"]
         precise = self.precise
 
         def dot(a, b):
-            parts = jnp.einsum(
-                a, [0, 1, 2], b, [0, 1, 2], w.astype(a.dtype),
-                [0, 1, 2], [1],
-                precision=lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            if precise and a.dtype != jnp.float64:
-                s = jnp.sum(parts, dtype=jnp.float64)
-            else:
-                s = jnp.sum(parts)
+            s = op.dot(a, b, precise, w_extra=wshard)
             return lax.psum(s, AXIS_NAMES)
 
         return dot
@@ -210,7 +207,7 @@ class BlockedSpmdMG:
                 rtol=self.coarse_rtol,
                 maxiter=self.coarse_maxit,
                 flexible=False,
-                dot=self.dot_fn(lvl),
+                dot=self.dot_fn(level, lvl),
             )
             return res.x
 
@@ -267,7 +264,7 @@ class BlockedSpmdMG:
             rtol=rtol,
             maxiter=maxiter,
             flexible=(ksp_type != "cg"),
-            dot=self.dot_fn(lvl0),
+            dot=self.dot_fn(0, lvl0),
         )
         return CGResult(
             x=op0.from_blocked(res.x, self.dtype),
