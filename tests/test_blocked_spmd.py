@@ -189,6 +189,90 @@ def test_blocked_fallback_warns(capsys):
     assert "float32-only" in out
 
 
+def test_spmd_chunked_step_identical_to_single_program():
+    """-ksp_chunk on the SPMD engine: the host-stepped Krylov carries
+    the full PCGState across jit calls, so the fused-step trajectory
+    must be IDENTICAL (not just convergent) to the single-program step
+    (VERDICT r2 #5; mirrors test_blocked.py's single-chip version)."""
+    from topopt_in_petsc_tpu.parallel.spmd_model import (
+        make_spmd_fused_step,
+    )
+
+    common = dict(
+        nx=NN[0], ny=NN[1], nz=NN[2], nlvls=2, dtype="float32",
+        rmin=0.16, mesh_shape=MESH_SHAPE, operator_impl="blocked",
+        ksp_rtol=1e-6, ksp_maxit=100,
+    )
+
+    def run(ksp_chunk):
+        cfg = TopOptConfig(ksp_chunk=ksp_chunk, **common)
+        cfg.validate()
+        step, state, _ = make_spmd_fused_step(cfg)
+        hist = []
+        for itr in (1, 2, 3):
+            state = step(state, itr)
+            hist.append(
+                (
+                    float(state.fx),
+                    float(state.ch),
+                    int(state.solver_iters),
+                    float(state.solver_relres),
+                )
+            )
+        return hist, state
+
+    ref, sref = run(0)
+    got, sgot = run(3)
+    for (fr, cr, ir, rr), (fg, cg, ig, rg) in zip(ref, got):
+        assert ig == ir  # same Krylov trajectory -> same iteration count
+        assert fg == pytest.approx(fr, rel=1e-5)
+        assert cg == pytest.approx(cr, rel=1e-4, abs=1e-6)
+        assert rg == pytest.approx(rr, rel=1e-2)
+    xr = np.asarray(sref.xPhys)
+    xg = np.asarray(sgot.xPhys)
+    assert np.max(np.abs(xr - xg)) < 1e-5
+
+
+def test_spmd_mg_dtype_bf16_converges():
+    """-mg_dtype bfloat16 on the SPMD engine: bf16 V-cycle storage with
+    the f32 outer Krylov still converges to the f32 solution (the
+    512^3-class memory lever, per shard; VERDICT r2 #5)."""
+    from topopt_in_petsc_tpu.parallel.spmd_model import SpmdElasticity
+
+    common = dict(
+        nx=NN[0], ny=NN[1], nz=NN[2], nlvls=2, dtype="float32",
+        rmin=0.16, mesh_shape=MESH_SHAPE, operator_impl="blocked",
+        ksp_rtol=1e-5,
+    )
+    rng = np.random.default_rng(21)
+    x = rng.uniform(0.3, 0.9, size=(NN[0] - 1, NN[1] - 1, NN[2] - 1))
+
+    cfg1 = TopOptConfig(**common)
+    cfg1.validate()
+    e1 = SpmdElasticity(cfg1)
+    ref = e1.compute_objective_constraints_sensitivities(
+        e1.blocked_elem(x), e1.zeros_nodal_blk()
+    )
+
+    cfg2 = TopOptConfig(mg_dtype="bfloat16", **common)
+    cfg2.validate()
+    e2 = SpmdElasticity(cfg2)
+    assert e2._bspmd.op32 is not e2._bspmd.ops[0]
+    assert e2._bspmd.krylov_compress == jnp.bfloat16
+    got = e2.compute_objective_constraints_sensitivities(
+        e2.blocked_elem(x), e2.zeros_nodal_blk()
+    )
+
+    assert float(got[2]) < cfg2.ksp_rtol  # converged (relres)
+    assert float(got[3]) == pytest.approx(float(ref[3]), rel=1e-3)  # fx
+    u_ref = e1.decomp.from_blocked_nodal(np.asarray(ref[0]))
+    u_got = e2.decomp.from_blocked_nodal(np.asarray(got[0]))
+    scale = np.max(np.abs(u_ref))
+    np.testing.assert_allclose(
+        u_got, u_ref, rtol=1e-2, atol=1e-3 * scale
+    )
+
+
 def test_blocked_spmd_solve_matches_single_device():
     """Full resident-blocked SPMD MG-PCG == single-device solve."""
     cfg = TopOptConfig(

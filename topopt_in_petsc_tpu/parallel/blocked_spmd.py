@@ -100,6 +100,8 @@ class BlockedSpmdMG:
         coarse_rtol: float = 1e-8,
         coarse_maxit: int = 30,
         precise_dots: bool = True,
+        mg_dtype=None,
+        krylov_compress="auto",
         interpret: bool = False,
     ):
         self.mesh_shape = decomp.mesh_shape
@@ -107,13 +109,30 @@ class BlockedSpmdMG:
         self.dof = dof
         self.dtype = dtype
         self.KEs = [jnp.asarray(k, dtype) for k in KEs]
+        # mg_dtype: storage dtype of the V-cycle (preconditioner only);
+        # bf16 halves the smoother's HBM traffic and live set — the
+        # 512^3-class lever, per LOCAL shard (solvers/blocked_mg.py has
+        # the single-chip rationale).  Outer Krylov always runs f32.
+        self.mg_dtype = mg_dtype or jnp.float32
         self.ops: List[BlockedHexOperator] = [
             BlockedHexOperator(
                 decomp.local_nn(l), np.asarray(KEs[l]), dof=dof,
-                interpret=interpret,
+                dtype=self.mg_dtype, interpret=interpret,
             )
             for l in range(self.nlvls)
         ]
+        if self.mg_dtype == jnp.float32:
+            self.op32 = self.ops[0]
+        else:  # separate f32 fine-level kernel for the outer Krylov
+            self.op32 = BlockedHexOperator(
+                decomp.local_nn(0), np.asarray(KEs[0]), dof=dof,
+                dtype=jnp.float32, interpret=interpret,
+            )
+        if krylov_compress == "auto":
+            krylov_compress = (
+                jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
+            )
+        self.krylov_compress = krylov_compress
         self.smooth_sweeps = smooth_sweeps
         self.cheby_lower = cheby_lower
         self.cheby_upper = cheby_upper
@@ -150,6 +169,8 @@ class BlockedSpmdMG:
             lvl["maskb"] = (
                 op.to_blocked(mask) if mask is not None else None
             )
+            if l == 0 and self.op32 is not self.ops[0]:
+                lvl["eb32"] = self.op32.prepare_coef(coef)
             # shard-duplication weights in the blocked layout; the dof
             # components are identical (ownership is per NODE), so one
             # (rows, Lcp) slice feeds BlockedHexOperator.dot's w_extra
@@ -237,6 +258,45 @@ class BlockedSpmdMG:
 
     # -- outer solve ----------------------------------------------------- #
 
+    def _outer_ops(self, env):
+        """(A, M) for the f32 outer Krylov from a `setup()` env (same
+        split as blocked_mg._outer_ops: when the V-cycle stores bf16,
+        the outer matvec runs a separate f32 fine kernel)."""
+        lvl0 = env[0]
+        if self.op32 is self.ops[0]:
+            A = partial(self.apply, 0, lvl0)
+            M = lambda r: self.vcycle(env, r)
+        else:
+            op32 = self.op32
+            eb32 = lvl0["eb32"]
+            maskb = lvl0["maskb"]
+            m32 = None if maskb is None else maskb.astype(jnp.float32)
+            mesh_shape = self.mesh_shape
+
+            def A(v):
+                vv = m32 * v if m32 is not None else v
+                Kv = op32.matvec(op32.refresh(vv), eb32)
+                Kv = halo_accumulate_blocked(Kv, op32, mesh_shape)
+                if m32 is not None:
+                    Kv = m32 * Kv + (1.0 - m32) * v
+                return Kv
+
+            mgdt = self.mg_dtype
+
+            def M(r):
+                z = self.vcycle(env, r.astype(mgdt))
+                return z.astype(r.dtype)
+
+        return A, M
+
+    def _pcg_opts(self, ksp_type: str):
+        compress = self.krylov_compress
+        return dict(
+            flexible=(ksp_type != "cg"),
+            flex_compress=compress,
+            p_compress=compress,
+        )
+
     def solve(
         self,
         env,
@@ -252,22 +312,85 @@ class BlockedSpmdMG:
         vectors); returns (u_local_nodal, iters, relres).  All inner
         work runs on resident blocked arrays."""
         env = self.setup(env, scale_fine)
-        op0 = self.ops[0]
-        lvl0 = env[0]
-        A = partial(self.apply, 0, lvl0)
-        M = lambda r: self.vcycle(env, r)
+        op32 = self.op32
+        A, M = self._outer_ops(env)
         res = pcg(
             A,
-            op0.to_blocked(b),
-            op0.to_blocked(x0),
+            op32.to_blocked(b),
+            op32.to_blocked(x0),
             M,
             rtol=rtol,
             maxiter=maxiter,
-            flexible=(ksp_type != "cg"),
-            dot=self.dot_fn(0, lvl0),
+            dot=self.dot_fn(0, env[0]),
+            **self._pcg_opts(ksp_type),
         )
         return CGResult(
-            x=op0.from_blocked(res.x, self.dtype),
+            x=op32.from_blocked(res.x, self.dtype),
             iters=res.iters,
             relres=res.relres,
         )
+
+    # -- split solve for host-chunked outer loops ------------------------ #
+    #
+    # This backend kills single device executions beyond ~1-2 minutes;
+    # a pod-scale local block pays the same per-iteration cost the
+    # single chip does, so the SPMD solve must also be host-steppable.
+    # Both functions run INSIDE shard_map; the caller unpeels/peels the
+    # returned trees across the jit boundary (parallel/spmd_model.py).
+
+    CARRY_KEYS = ("eb", "dinvb", "maskb", "wshard", "lmax", "eb32")
+
+    def solve_init(
+        self,
+        env,
+        scale_fine: jax.Array,
+        b: jax.Array,
+        x0: jax.Array,
+        *,
+        rtol,
+        ksp_type: str = "fcg",
+    ):
+        """setup + initial residual/preconditioner application.  Returns
+        (carry_env, PCGState): `carry_env` is the setup() env stripped
+        to the keys the iteration needs (no static masks/weights — the
+        caller already holds those), both trees ready to unpeel."""
+        env = self.setup(env, scale_fine)
+        op32 = self.op32
+        A, M = self._outer_ops(env)
+        _, st = pcg(
+            A,
+            op32.to_blocked(b),
+            op32.to_blocked(x0),
+            M,
+            rtol=rtol,
+            maxiter=0,
+            dot=self.dot_fn(0, env[0]),
+            return_state=True,
+            **self._pcg_opts(ksp_type),
+        )
+        carry = [
+            {k: lvl[k] for k in self.CARRY_KEYS if lvl.get(k) is not None}
+            for lvl in env
+        ]
+        return carry, st
+
+    def solve_step(self, carry, st, cap, rtol, *, ksp_type: str = "fcg"):
+        """Advance the SAME Krylov solve to iteration `cap` (a traced
+        i32).  `carry` is solve_init's env; `st` the PCGState."""
+        env = [dict(lvl) for lvl in carry]
+        for lvl in env:
+            lvl.setdefault("maskb", None)
+        A, M = self._outer_ops(env)
+        _, st = pcg(
+            A,
+            None,
+            None,
+            M,
+            rtol=rtol,
+            maxiter=cap,
+            dot=self.dot_fn(0, env[0]),
+            state0=st,
+            return_state=True,
+            **self._pcg_opts(ksp_type),
+        )
+        return st

@@ -110,6 +110,11 @@ class SpmdElasticity:
             # kernel layout across the whole local solve, halos ride
             # blocked boundary planes (parallel/blocked_spmd.py) — no
             # per-apply relayout (the pallas path's 42%/matvec tax)
+            # per-shard size drives the 512^3-class levers: HBM and the
+            # ~1-2 min execution kill are PER-CHIP constraints, so the
+            # thresholds use LOCAL dof (single-chip elasticity.py uses
+            # the same cutoffs with global == local)
+            local_ndof = 3 * int(np.prod(self.decomp.local_nn(0)))
             self._bspmd = BlockedSpmdMG(
                 self.decomp,
                 KEs,
@@ -120,6 +125,15 @@ class SpmdElasticity:
                 coarse_rtol=cfg.coarse_rtol,
                 coarse_maxit=cfg.coarse_maxit,
                 precise_dots=cfg.precise_dots,
+                mg_dtype=(
+                    jnp.bfloat16
+                    if (
+                        cfg.mg_dtype == "bfloat16"
+                        or (cfg.mg_dtype == "same"
+                            and local_ndof >= 3.5e8)
+                    )
+                    else None
+                ),
                 interpret=not on_tpu,
             )
             if on_tpu:
@@ -243,8 +257,15 @@ class SpmdElasticity:
                 flexible=True, dot=dot,
             )
             u = res.x
+        return (u, res.iters, res.relres) + self._objective_local(x, u, E)
 
-        # objective / constraints / sensitivities
+    def _objective_local(self, x, u, E=None):
+        """objective / constraints / sensitivities from a solved state
+        (the tail of ComputeObjectiveConstraintsSensitivities,
+        LinearElasticity.cc:363-445); INSIDE shard_map."""
+        cfg = self.cfg
+        if E is None:
+            E = self.simp(x.astype(self.dtype))
         if self._pallas_quadform is not None:
             uKu = self._pallas_quadform(u)
         else:
@@ -261,7 +282,7 @@ class SpmdElasticity:
             [gx0[None], jnp.zeros((cfg.m - 1,), self.dtype)]
         )
         dgdx = jnp.full((cfg.m, *x.shape), 1.0 / nelem, self.dtype)
-        return u, res.iters, res.relres, fx, gx, dfdx, dgdx
+        return fx, gx, dfdx, dgdx
 
     def _build_solve(self):
         env_spec = _spec_like(self.env_blk, BLK)
@@ -402,15 +423,28 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         solver_iters=REP, solver_relres=REP, u_pde=BLK, pde_viol=REP,
     )
 
-    def make_step(first_iter: bool, fresh_asymptotes: bool):
+    def make_step(
+        first_iter: bool,
+        fresh_asymptotes: bool,
+        external_solve: bool = False,
+    ):
+        # external_solve: the state solve already ran (host-chunked
+        # Krylov, see `step_chunked` below); this program receives the
+        # solution in the op32 kernel layout + iters/relres and runs
+        # only the objective/filter/MMA tail of the iteration.
+        in_specs = (state_spec, BLK, env_spec, pde_env_spec)
+        if external_solve:
+            in_specs = in_specs + (BLK, REP, REP)
+
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(state_spec, BLK, env_spec, pde_env_spec),
+            in_specs=in_specs,
             out_specs=state_spec,
             check_vma=False,
         )
-        def step(state: SpmdOptState, rhs_blk, env_blk, pde_env_blk):
+        def step(state: SpmdOptState, rhs_blk, env_blk, pde_env_blk,
+                 *ext):
             s_loc = SpmdOptState(
                 *[
                     peel(v) if spec is BLK else v
@@ -420,9 +454,20 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             rhs = peel(rhs_blk)
             env = jax.tree_util.tree_map(peel, env_blk)
 
-            u, iters, relres, fx, gx, dfdx, dgdx = engine._physics_local(
-                s_loc.xPhys, s_loc.u, rhs, env
-            )
+            if external_solve:
+                xk_blk, iters, relres = ext
+                u = engine._bspmd.op32.from_blocked(
+                    peel(xk_blk), engine.dtype
+                )
+                fx, gx, dfdx, dgdx = engine._objective_local(
+                    s_loc.xPhys, u
+                )
+            else:
+                (u, iters, relres, fx, gx, dfdx, dgdx) = (
+                    engine._physics_local(
+                        s_loc.xPhys, s_loc.u, rhs, env
+                    )
+                )
             # objective auto-scale at the first iteration (main.cc:68-73)
             fscale = 10.0 / fx if first_iter else s_loc.fscale
             dfdx = dfdx * fscale
@@ -517,14 +562,89 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
 
         return jax.jit(step)
 
+    # host-chunked state solve (the -ksp_chunk lever on the SPMD path):
+    # per-shard work sets program runtime, so the auto rule uses LOCAL
+    # dof — the same ~1-2-minute execution kill that forces chunking on
+    # one chip applies to each pod chip (single-chip analogue:
+    # models/elasticity._chunk_size)
+    bspmd = engine._bspmd
+    local_ndof = 3 * int(np.prod(engine.decomp.local_nn(0)))
+    if cfg.ksp_chunk >= 0:
+        chunk = cfg.ksp_chunk
+    else:
+        chunk = 32 if local_ndof >= 1e8 else 0
+    chunked = bspmd is not None and chunk > 0
+
     # three compiled variants cover the reference's k<3 asymptote logic
     # (GenSub, MMA.cc:532-537) and the itr==1 objective scale; rhs/env
     # flow as jit arguments (no large-array closures)
     _steps = {
-        (True, True): make_step(True, True),
-        (False, True): make_step(False, True),
-        (False, False): make_step(False, False),
+        (True, True): make_step(True, True, external_solve=chunked),
+        (False, True): make_step(False, True, external_solve=chunked),
+        (False, False): make_step(False, False, external_solve=chunked),
     }
+
+    if chunked:
+        from topopt_in_petsc_tpu.solvers.cg import PCGState
+
+        # static structure of the carried solver env (solve_init strips
+        # to CARRY_KEYS; masks exist on every level in this engine)
+        carry_spec = []
+        for l in range(cfg.nlvls):
+            d = {
+                "eb": BLK, "dinvb": BLK, "maskb": BLK, "wshard": BLK,
+                "lmax": REP,
+            }
+            if l == 0 and bspmd.op32 is not bspmd.ops[0]:
+                d["eb32"] = BLK
+            carry_spec.append(d)
+        pcg_spec = PCGState(
+            x=BLK, r=BLK, p=BLK, rz=REP, rnorm=REP, bnorm=REP, k=REP,
+        )
+
+        def _unpeel_leaf(v):
+            return v if v.ndim == 0 else unpeel(v)
+
+        def _peel_leaf(v):
+            return v if v.ndim == 0 else peel(v)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(BLK, BLK, BLK, env_spec),
+            out_specs=(carry_spec, pcg_spec),
+            check_vma=False,
+        )
+        def _pre(xPhys_blk, u0_blk, rhs_blk, env_blk):
+            x = peel(xPhys_blk)
+            u0 = peel(u0_blk)
+            rhs = peel(rhs_blk)
+            env = jax.tree_util.tree_map(peel, env_blk)
+            E = engine.simp(x.astype(dt))
+            carry, st = bspmd.solve_init(
+                env, E, rhs, u0,
+                rtol=cfg.ksp_rtol, ksp_type=cfg.ksp_type,
+            )
+            carry = jax.tree_util.tree_map(_unpeel_leaf, carry)
+            return carry, PCGState(*[_unpeel_leaf(v) for v in st])
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(carry_spec, pcg_spec, REP),
+            out_specs=pcg_spec,
+            check_vma=False,
+        )
+        def _chunk_step(carry_blk, st_blk, cap):
+            carry = jax.tree_util.tree_map(_peel_leaf, carry_blk)
+            st = PCGState(*[_peel_leaf(v) for v in st_blk])
+            st = bspmd.solve_step(
+                carry, st, cap, cfg.ksp_rtol, ksp_type=cfg.ksp_type
+            )
+            return PCGState(*[_unpeel_leaf(v) for v in st])
+
+        _pre_jit = jax.jit(_pre)
+        _chunk_jit = jax.jit(_chunk_step, donate_argnums=(1,))
 
     # standalone FilterProject over the SPMD blocks (main.cc:48-52's
     # pre-loop filter and the beta-continuation re-projection): same
@@ -566,10 +686,41 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
 
     engine.filter_project_blk = filter_project_blk
 
-    def step_jit(st: SpmdOptState, itr: int = 3):
-        key = (itr == 1, itr <= 2)
-        fn = _steps[key if key in _steps else (False, False)]
-        return fn(st, engine.rhs_blk, engine.env_blk, pde_env_blk)
+    if chunked:
+
+        def step_jit(st: SpmdOptState, itr: int = 3):
+            key = (itr == 1, itr <= 2)
+            fn = _steps[key if key in _steps else (False, False)]
+            # host-stepped Krylov: the full PCGState crosses the jit
+            # boundary, so the chunked trajectory IS the single-program
+            # solve (solvers/cg.PCGState semantics)
+            carry, pst = _pre_jit(
+                st.xPhys, st.u, engine.rhs_blk, engine.env_blk
+            )
+            bnorm = float(pst.bnorm)
+            tol = max(cfg.ksp_rtol * bnorm, 1e-50)
+            while (
+                float(pst.rnorm) > tol and int(pst.k) < cfg.ksp_maxit
+            ):
+                cap = jnp.asarray(
+                    min(int(pst.k) + chunk, cfg.ksp_maxit), jnp.int32
+                )
+                pst = _chunk_jit(carry, pst, cap)
+            carry = None  # release solver env before the tail program
+            relres = jnp.asarray(
+                float(pst.rnorm) / max(bnorm, 1e-300), dt
+            )
+            return fn(
+                st, engine.rhs_blk, engine.env_blk, pde_env_blk,
+                pst.x, pst.k, relres,
+            )
+
+    else:
+
+        def step_jit(st: SpmdOptState, itr: int = 3):
+            key = (itr == 1, itr <= 2)
+            fn = _steps[key if key in _steps else (False, False)]
+            return fn(st, engine.rhs_blk, engine.env_blk, pde_env_blk)
 
     # initial state
     np_dt = np.float64 if cfg.dtype == "float64" else np.float32
