@@ -253,6 +253,41 @@ def test_ksp_chunk_routing_in_solve_state():
     assert np.max(np.abs(ur - ug)) <= 1e-4 * np.max(np.abs(ur))
 
 
+def test_fused_step_chunked_identical():
+    """-ksp_chunk on the single-chip fused step: the iteration runs as
+    host-chunked solve + tail program with a trajectory identical to
+    the single-program fused step (the giga-dof execution-kill route,
+    VERDICT r2 #3/#5)."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
+
+    kw = dict(nx=9, ny=5, nz=5, nlvls=2, dtype="float32", rmin=0.24,
+              operator_impl="blocked", ksp_rtol=1e-6)
+
+    def run(ksp_chunk):
+        cfg = TopOptConfig(**kw, ksp_chunk=ksp_chunk)
+        cfg.validate()
+        step, state = make_fused_step(cfg)
+        hist = []
+        for itr in (1, 2, 3):
+            state = step(state, itr)
+            hist.append(
+                (float(state.fx), float(state.ch),
+                 int(state.solver_iters))
+            )
+        return hist, state
+
+    ref, sref = run(0)
+    got, sgot = run(2)
+    for (fr, cr, ir), (fg, cg, ig) in zip(ref, got):
+        assert ig == ir
+        assert fg == pytest.approx(fr, rel=1e-5)
+        assert cg == pytest.approx(cr, rel=1e-4, abs=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(sgot.xPhys), np.asarray(sref.xPhys), atol=1e-5
+    )
+
+
 def test_cantilever_rhs_matches_nodal_builder(op_and_data):
     """The on-the-fly blocked RHS (index predicates, no nodal transient)
     must equal build_cantilever_bc's nodal RHS exactly — including the

@@ -81,17 +81,24 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
     # rhs/masks/filter constants flow as jit arguments (large-array
     # closures become XLA constants, which breaks compilation at 256^3+,
     # and complex constants are UNIMPLEMENTED on this backend)
-    def step(s: OptState, rhs, masks, filt_consts, *,
+    def tail(s: OptState, iters, relres, filt_consts, *,
              first_iter: bool, fresh_asymptotes: bool) -> OptState:
+        """Everything after the state solve (objective, filter chain
+        rule, MMA, design filter) from a state whose `u` is the FRESH
+        solution.  Split out so the chunked route (the giga-dof sizes
+        where one device program would hit the 1-2-minute execution
+        kill) can run the solve as a host loop and this tail as its own
+        program."""
         Hs, fft_consts = filt_consts
-        res = physics._step_impl(s.xPhys, s.u, rhs, masks)
+        u = s.u
+        fx, gx, dfdx, dgdx = physics._objective_parts(
+            s.xPhys.astype(physics.dtype), u
+        )
         # objective auto-scale at the first iteration (main.cc:68-73)
-        fscale = (
-            10.0 / res.fx if first_iter else s.fscale
-        ).astype(dt)
-        dfdx = res.dfdx * fscale
+        fscale = (10.0 / fx if first_iter else s.fscale).astype(dt)
+        dfdx = dfdx * fscale
         dfdx, dgdx = filt._gradients_impl(
-            s.x, s.xTilde, dfdx, res.dgdx, s.beta, eta, Hs,
+            s.x, s.xTilde, dfdx, dgdx, s.beta, eta, Hs,
             fft_consts, projection=projection,
         )
         xmin, xmax = mma._movelimit_impl(
@@ -101,7 +108,7 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
             jnp.asarray(cfg.movlim, dt),
         )
         x_new, L, U, lam, y, z = mma._update_impl(
-            s.x, dfdx, res.gx, dgdx, xmin, xmax,
+            s.x, dfdx, gx, dgdx, xmin, xmax,
             s.L, s.U, s.xo1, s.xo2,
             fresh_asymptotes=fresh_asymptotes,
         )
@@ -112,11 +119,19 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
         )
         mnd = jnp.mean(4.0 * xPhys * (1.0 - xPhys))
         return OptState(
-            x=x_new, xTilde=xTilde, xPhys=xPhys, u=res.u,
+            x=x_new, xTilde=xTilde, xPhys=xPhys, u=u,
             L=L, U=U, xo1=s.x, xo2=s.xo1,
-            fscale=fscale, beta=s.beta, fx=res.fx, gx=res.gx, ch=ch,
+            fscale=fscale, beta=s.beta, fx=fx, gx=gx, ch=ch,
             mnd=mnd,
-            solver_iters=res.iters, solver_relres=res.relres,
+            solver_iters=iters, solver_relres=relres,
+        )
+
+    def step(s: OptState, rhs, masks, filt_consts, *,
+             first_iter: bool, fresh_asymptotes: bool) -> OptState:
+        res = physics._solve_impl(s.xPhys, s.u, rhs, masks)
+        return tail(
+            s._replace(u=res.x), res.iters, res.relres, filt_consts,
+            first_iter=first_iter, fresh_asymptotes=fresh_asymptotes,
         )
 
     x0 = jnp.full(grid.ne, cfg.volfrac, dtype=dt)
@@ -193,6 +208,65 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
             for key in ((True, True), (False, True), (False, False))
         }
     else:
+        # chunked route: when the solve must be host-stepped (the
+        # backend's ~1-2-minute execution kill at giga-dof sizes —
+        # models/elasticity._chunk_size), the iteration runs as
+        # solve_state (host-chunked Krylov, identical trajectory via
+        # PCGState) + the `tail` program; otherwise one fused program.
+        chunk = 0
+        if physics._bsolver is not None and cfg.ksp_type != "fgmres":
+            chunk = physics._chunk_size()
+        if chunk > 0:
+            # donate the state: u passes through (input->output alias),
+            # x->xo1 / xo1->xo2 alias, and the 7 element-field buffers
+            # die into their replacements — at 512^3 this halves the
+            # tail program's peak HBM
+            inner = {
+                key: jax.jit(
+                    partial(
+                        tail, first_iter=key[0],
+                        fresh_asymptotes=key[1],
+                    ),
+                    donate_argnums=(0,),
+                )
+                for key in ((True, True), (False, True), (False, False))
+            }
+
+            def _dedupe(s: OptState) -> OptState:
+                """Donation requires distinct buffers per leaf; the
+                init state (x = xo1 = xo2 = x0) and jit input
+                forwarding can alias leaves.  Copy-on-duplicate is a
+                no-op in steady state (pointer check only)."""
+                seen = set()
+                out = []
+                for v in s:
+                    try:
+                        ptr = v.unsafe_buffer_pointer()
+                    except Exception:  # noqa: BLE001
+                        ptr = None
+                    if ptr is not None and ptr in seen:
+                        v = v + jnp.zeros((), v.dtype)
+                    elif ptr is not None:
+                        seen.add(ptr)
+                    out.append(v)
+                return OptState(*out)
+
+            def step_jit(s: OptState, itr: int = 3) -> OptState:
+                key = (itr == 1, itr <= 2)
+                res = physics.solve_state(s.xPhys, s.u)  # donates s.u
+                s = _dedupe(s._replace(u=res.x))
+                return inner[key](s, res.iters, res.relres, filt_consts)
+
+            if return_aux:
+                aux = {
+                    "grid": grid,
+                    "physics": physics,
+                    "filt": filt,
+                    "filt_consts": filt_consts,
+                }
+                return step_jit, init, aux
+            return step_jit, init
+
         inner = {
             key: jax.jit(
                 partial(
