@@ -1,6 +1,12 @@
 """Fused opt-iteration probe at a given element count.
 
-Usage: python tools/probe_fused.py <nelem_axis> [nlvls]
+Usage: python tools/probe_fused.py <nelem_axis> [nlvls] [mg_dtype]
+
+At >= 1e8 dof the step auto-routes through the host-chunked solve +
+tail program (parallel/fused_step.py chunked mode) and at >= 3.5e8 dof
+the V-cycle auto-stores bf16 — `python tools/probe_fused.py 512` is
+the giga-dof full-iteration probe (405M dof: solve + filter + uKEu +
+MMA + projection), the whole-loop analogue of tools/probe_512.py.
 """
 
 import sys
@@ -26,22 +32,29 @@ def main():
     nlvls = int(sys.argv[2]) if len(sys.argv) > 2 else (
         6 if ne % 32 == 0 else 5
     )
+    mg_dtype = sys.argv[3] if len(sys.argv) > 3 else "same"
     n = ne + 1
     cfg = TopOptConfig(
         nx=n, ny=n, nz=n, nlvls=nlvls, dtype="float32",
-        precise_dots=False, ksp_maxit=200, operator_impl="auto",
+        precise_dots=False, ksp_maxit=400, operator_impl="auto",
+        mg_dtype=mg_dtype,
+        smooth_sweeps=2 if ne >= 512 else 4,
     )
     cfg.validate()
     step, state = make_fused_step(cfg)
+    print(f"ndof={cfg.ndof:,}, nlvls={nlvls}, mg_dtype={mg_dtype}",
+          flush=True)
     t0 = time.perf_counter()
     s = step(state, 1)
     _sync(s.x)
     print(f"iter 1 (incl compile): {time.perf_counter() - t0:.1f} s "
           f"(solver_iters={int(s.solver_iters)})", flush=True)
-    s = step(s, 2)
-    _sync(s.x)
-    s = step(s, 3)
-    _sync(s.x)
+    for itr in (2, 3):
+        t0 = time.perf_counter()
+        s = step(s, itr)
+        _sync(s.x)
+        print(f"iter {itr}: {time.perf_counter() - t0:.1f} s "
+              f"(solver_iters={int(s.solver_iters)})", flush=True)
     t0 = time.perf_counter()
     s = step(s, 4)
     _sync(s.x)
