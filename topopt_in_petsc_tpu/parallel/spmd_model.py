@@ -706,6 +706,12 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
                     min(int(pst.k) + chunk, cfg.ksp_maxit), jnp.int32
                 )
                 pst = _chunk_jit(carry, pst, cap)
+                if cfg.ksp_monitor:
+                    print(
+                        f"  {int(pst.k):4d} KSP relative residual "
+                        f"{float(pst.rnorm) / max(bnorm, 1e-300):.6e}",
+                        flush=True,
+                    )
             carry = None  # release solver env before the tail program
             relres = jnp.asarray(
                 float(pst.rnorm) / max(bnorm, 1e-300), dt
