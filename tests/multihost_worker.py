@@ -25,6 +25,7 @@ def main():
     nprocs = int(sys.argv[2])
     port = int(sys.argv[3])
     workdir = sys.argv[4]
+    resume = len(sys.argv) > 5 and sys.argv[5] == "resume"
 
     import jax
 
@@ -41,15 +42,30 @@ def main():
     from topopt_in_petsc_tpu.config import TopOptConfig
     from topopt_in_petsc_tpu.parallel.spmd_driver import SpmdDriver
 
-    cfg = TopOptConfig(
-        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, maxItr=2,
+    kw = dict(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16,
         dtype="float64", workdir=workdir, mesh_shape=(2, 2, 2),
         output_cadence_vtu=True, output_dat=True, restart=True,
     )
+    if resume:
+        # multi-host restart LOAD: every process reads the checkpoint,
+        # put_blocked places only its addressable blocks
+        # (TopOpt.cc:514-570's multi-rank reload)
+        from topopt_in_petsc_tpu.io.restart import RestartManager
+
+        latest = RestartManager(workdir).latest()
+        assert latest is not None
+        kw.update(maxItr=3, restartFileVec=latest, output_dat=False)
+    else:
+        kw.update(maxItr=2)
+    cfg = TopOptConfig(**kw)
     cfg.validate()
     d = SpmdDriver(cfg)
+    if resume:
+        assert d.itr == 2, f"expected resume at itr 2, got {d.itr}"
     hist = d.run()
-    with open(os.path.join(workdir, f"hist{pid}.json"), "w") as f:
+    tag = "resume_" if resume else ""
+    with open(os.path.join(workdir, f"{tag}hist{pid}.json"), "w") as f:
         json.dump({"fx": hist["fx"], "gx": hist["gx"]}, f)
     print(f"worker {pid}: done, fx={hist['fx']}", flush=True)
 
