@@ -287,7 +287,7 @@ def main():
     # --- primary: SpMV nnz/s at 256^3, blocked-resident kernel
     # (fallbacks: per-apply pallas, xla form, then 128^3) ---
     nnz_s = None
-    ne = 0
+    metric = "elasticity_spmv_nnz_per_s"  # suffixed on success only
     for ne, impl in ((256, "blocked"), (256, "pallas"), (256, "xla"),
                      (128, "blocked"), (128, "xla")):
         try:
@@ -304,6 +304,7 @@ def main():
                 "ok": True, "size": ne, "impl": impl,
                 "ms_per_matvec": dt * 1e3, "gnnz_s": nnz_s / 1e9,
             }
+            metric = f"elasticity_spmv_nnz_per_s_{ne}^3"
             break
         except (StageTimeout, Exception) as e:  # noqa: BLE001
             log(f"spmv@{ne}^3[{impl}] failed: {type(e).__name__}: {e}")
@@ -408,7 +409,7 @@ def main():
     emit(
         nnz_s,
         None if nnz_s is None else nnz_s / PER_CORE_CPU_NNZ_S,
-        f"elasticity_spmv_nnz_per_s_{ne}^3",
+        metric,
         stages,
     )
 

@@ -111,15 +111,24 @@ def test_put_blocked_matches_device_put():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(blk_ref))
     assert got.sharding == blk_ref.sharding
 
-    # deferred-loader variant: loader runs at most once
-    calls = []
 
-    def loader():
-        calls.append(1)
-        return blk_np
-
-    got2 = podio.put_blocked_from(
-        loader, blk_np.shape, blk_np.dtype, sharding
+def test_gather_blocked_ignores_stale_dumps(tmp_path):
+    """Dump files left by a previous (crashed) run — a different run
+    nonce — are removed, never stitched into the output."""
+    _, blk_np, blk, _, _ = _blocked_nodal()
+    stale = tmp_path / "t.deadbeef.proc00007.npz"
+    np.savez(
+        str(stale),
+        n=np.int64(1),
+        blk0=np.full_like(blk_np[0, 0, 0], 777.0),
+        idx0=np.asarray(
+            [(0, 1), (0, 1), (0, 1)]
+            + [(0, s) for s in blk_np.shape[3:]],
+            np.int64,
+        ),
     )
-    np.testing.assert_array_equal(np.asarray(got2), blk_np)
-    assert len(calls) == 1
+    g = podio.gather_blocked(
+        blk, scratch_dir=str(tmp_path), tag="t", force_dump=True
+    )
+    np.testing.assert_array_equal(g, blk_np)  # stale 777s not stitched
+    assert not stale.exists()  # and cleaned up

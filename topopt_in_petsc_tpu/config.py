@@ -147,6 +147,26 @@ class TopOptConfig:
     def ndof(self) -> int:
         return 3 * self.nx * self.ny * self.nz
 
+    # -- shared auto-lever rules (single-chip AND per-shard SPMD; the
+    # thresholds are PER-CHIP constraints, so callers pass local dof) -- #
+
+    def resolve_ksp_chunk(self, ndof: int) -> int:
+        """Resolved -ksp_chunk for a given (local) dof count: >=0
+        explicit, -1 auto — 32-iteration chunks at >= 1e8 dof (this
+        backend kills device executions beyond ~1-2 minutes)."""
+        if self.ksp_chunk >= 0:
+            return self.ksp_chunk
+        return 32 if ndof >= 1e8 else 0
+
+    def resolve_mg_bf16(self, ndof: int) -> bool:
+        """bf16 V-cycle storage: explicit -mg_dtype bfloat16, or auto
+        at >= 3.5e8 (local) dof where the f32 V-cycle exceeds one
+        chip's HBM (compile-checked at 512^3: f32 needs 16.2 GB >
+        15.75 GB; bf16 fits at 14.5 GB)."""
+        return self.mg_dtype == "bfloat16" or (
+            self.mg_dtype == "same" and ndof >= 3.5e8
+        )
+
     @property
     def dx(self) -> float:
         return (self.xcmax - self.xcmin) / (self.nx - 1)

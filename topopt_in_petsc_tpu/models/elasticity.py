@@ -142,15 +142,12 @@ class LinearElasticity:
                 # traffic and the live-set footprint; pair with the
                 # flexible outer (ksp_type fcg, the default) since the
                 # rounded preconditioner is no longer exactly linear.
-                # Auto-engaged at giga-dof sizes: the f32 V-cycle needs
-                # 16.2 GB > 15.75 GB HBM at 512^3 (compile-checked),
-                # bf16 fits at 14.5 GB and solves in 105 iterations.
+                # Auto-engaged at giga-dof sizes (the shared rule,
+                # config.resolve_mg_bf16; measured: 512^3 solves in
+                # 105 iterations under bf16 storage).
                 mg_dtype=(
                     jnp.bfloat16
-                    if (
-                        cfg.mg_dtype == "bfloat16"
-                        or (cfg.mg_dtype == "same" and cfg.ndof >= 3.5e8)
-                    )
+                    if cfg.resolve_mg_bf16(cfg.ndof)
                     else None
                 ),
                 interpret=not on_tpu,
@@ -314,14 +311,9 @@ class LinearElasticity:
         return res
 
     def _chunk_size(self) -> int:
-        """Resolved -ksp_chunk: >0 chunk size, 0 disabled."""
-        c = self.cfg.ksp_chunk
-        if c >= 0:
-            return c
-        # auto: this backend kills device executions beyond ~1-2 min;
-        # at >= 1e8 dof a 200-iteration solve crosses that, so the
-        # outer Krylov must be host-stepped (blocked path only)
-        return 32 if self.cfg.ndof >= 1e8 else 0
+        """Resolved -ksp_chunk: >0 chunk size, 0 disabled (the shared
+        auto rule, config.resolve_ksp_chunk; blocked path only)."""
+        return self.cfg.resolve_ksp_chunk(self.cfg.ndof)
 
     def _solve_state_chunked(self, xPhys, u0, chunk: int):
         cfg = self.cfg

@@ -31,7 +31,7 @@ path).
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import numpy as np
@@ -43,6 +43,28 @@ def _barrier(tag: str) -> None:
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(tag)
+
+
+_NONCE: list = []
+
+
+def _run_nonce() -> str:
+    """Per-run identifier agreed across all processes (process 0's
+    random draw, broadcast once).  Shard-dump filenames carry it so a
+    relaunch under the same workdir can never stitch stale dumps left
+    by a crashed previous run (possibly with a different process
+    count)."""
+    if not _NONCE:
+        import secrets
+
+        from jax.experimental import multihost_utils
+
+        mine = np.frombuffer(secrets.token_bytes(4), np.uint32)[0]
+        agreed = int(
+            multihost_utils.broadcast_one_to_all(np.uint32(mine))
+        )
+        _NONCE.append(f"{agreed:08x}")
+    return _NONCE[0]
 
 
 def local_blocks(arr) -> list[tuple[tuple, np.ndarray]]:
@@ -83,7 +105,10 @@ def gather_blocked(
         )
     os.makedirs(scratch_dir, exist_ok=True)
     pidx = jax.process_index()
-    path = os.path.join(scratch_dir, f"{tag}.proc{pidx:05d}.npz")
+    nonce = _run_nonce()
+    path = os.path.join(
+        scratch_dir, f"{tag}.{nonce}.proc{pidx:05d}.npz"
+    )
     blocks = local_blocks(arr)
     np.savez(
         path,
@@ -113,25 +138,45 @@ def gather_blocked(
         if not force_dump:
             _barrier(f"podio_gather_{tag}_stitch")
         return None
+    # the stitch MUST reach its barrier even when it raises (holes /
+    # corrupt file): otherwise every non-primary process deadlocks in
+    # sync_global_devices while only the primary sees the error
+    err = None
     out = np.empty(arr.shape, arr.dtype)
     filled = np.zeros(arr.shape[:3], bool)  # leading device axes
-    for fn in sorted(os.listdir(scratch_dir)):
-        if not (fn.startswith(tag + ".proc") and fn.endswith(".npz")):
-            continue
-        with np.load(os.path.join(scratch_dir, fn)) as z:
-            for i in range(int(z["n"])):
-                bounds = z[f"idx{i}"]
-                sl = tuple(slice(int(a), int(b)) for a, b in bounds)
-                out[sl] = z[f"blk{i}"]
-                filled[sl[:3]] = True
-        os.remove(os.path.join(scratch_dir, fn))
-    if not bool(filled.all()):
-        raise RuntimeError(
-            f"gather_blocked({tag}): stitched output has holes — "
-            "missing shard dumps (scratch_dir not shared across hosts?)"
-        )
+    try:
+        prefix = f"{tag}.{nonce}.proc"
+        for fn in sorted(os.listdir(scratch_dir)):
+            if fn.startswith(tag + ".") and not (
+                fn.startswith(prefix) and fn.endswith(".npz")
+            ):
+                # stale dump from a previous (crashed) run under the
+                # same workdir: a different nonce — remove, never stitch
+                os.remove(os.path.join(scratch_dir, fn))
+                continue
+            if not fn.startswith(prefix):
+                continue
+            with np.load(os.path.join(scratch_dir, fn)) as z:
+                for i in range(int(z["n"])):
+                    bounds = z[f"idx{i}"]
+                    sl = tuple(
+                        slice(int(a), int(b)) for a, b in bounds
+                    )
+                    out[sl] = z[f"blk{i}"]
+                    filled[sl[:3]] = True
+            os.remove(os.path.join(scratch_dir, fn))
+        if not bool(filled.all()):
+            raise RuntimeError(
+                f"gather_blocked({tag}): stitched output has holes — "
+                "missing shard dumps (scratch_dir not shared across "
+                "hosts?)"
+            )
+    except Exception as e:  # noqa: BLE001
+        err = e
     if not force_dump:
         _barrier(f"podio_gather_{tag}_stitch")
+    if err is not None:
+        raise err
     return out
 
 
@@ -145,17 +190,3 @@ def put_blocked(host_global: np.ndarray, sharding) -> jax.Array:
     )
 
 
-def put_blocked_from(
-    loader: Callable[[], np.ndarray], shape, dtype, sharding
-) -> jax.Array:
-    """Like put_blocked but defers loading the host-global source until
-    a block is actually requested (a process whose blocks are all
-    elsewhere never materializes the array)."""
-    cache: list = []
-
-    def cb(idx):
-        if not cache:
-            cache.append(np.asarray(loader(), dtype))
-        return cache[0][idx]
-
-    return jax.make_array_from_callback(tuple(shape), sharding, cb)

@@ -148,6 +148,10 @@ class SpmdDriver:
     def _write_restart(self):
         from topopt_in_petsc_tpu.parallel.multihost import is_primary
 
+        if not self.cfg.restart:
+            # process-independent gate: skip the 7-field collective
+            # gather entirely when checkpointing is disabled
+            return
         s = self.state
         # collective gathers run on EVERY process; only the primary's
         # RestartManager writes (it holds the global arrays, the others

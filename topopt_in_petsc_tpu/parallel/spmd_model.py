@@ -127,11 +127,7 @@ class SpmdElasticity:
                 precise_dots=cfg.precise_dots,
                 mg_dtype=(
                     jnp.bfloat16
-                    if (
-                        cfg.mg_dtype == "bfloat16"
-                        or (cfg.mg_dtype == "same"
-                            and local_ndof >= 3.5e8)
-                    )
+                    if cfg.resolve_mg_bf16(local_ndof)
                     else None
                 ),
                 interpret=not on_tpu,
@@ -569,10 +565,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     # models/elasticity._chunk_size)
     bspmd = engine._bspmd
     local_ndof = 3 * int(np.prod(engine.decomp.local_nn(0)))
-    if cfg.ksp_chunk >= 0:
-        chunk = cfg.ksp_chunk
-    else:
-        chunk = 32 if local_ndof >= 1e8 else 0
+    chunk = cfg.resolve_ksp_chunk(local_ndof)
     chunked = bspmd is not None and chunk > 0
 
     # three compiled variants cover the reference's k<3 asymptote logic
