@@ -25,7 +25,21 @@ def main(argv=None) -> int:
 
     initialize()
     cfg = TopOptConfig.from_args(argv)
-    run_topopt(cfg)
+    history = run_topopt(cfg)
+    # per-iteration trajectory artifact (fx/gx/ch/mnd/solver iters/s per
+    # iteration) next to the VTU/restart outputs — the regression record
+    # production campaigns are judged by (docs/GOLDEN_RUN.md)
+    from topopt_in_petsc_tpu.parallel.multihost import is_primary
+
+    if is_primary() and history and history.get("fx"):
+        import os
+
+        import numpy as np
+
+        np.savez(
+            os.path.join(cfg.workdir, "history.npz"),
+            **{k: np.asarray(v) for k, v in history.items()},
+        )
     return 0
 
 
