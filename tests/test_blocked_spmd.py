@@ -136,25 +136,23 @@ def test_blocked_spmd_dot_accuracy():
         (a.astype(np.float64) * b.astype(np.float64)).ravel()
     )
 
-    w = jnp.asarray(d.ownership_weights(0, 3).astype(np.float32))
     a_blk = jnp.asarray(d.to_blocked_nodal(a))
     b_blk = jnp.asarray(d.to_blocked_nodal(b))
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(*AXIS_NAMES),) * 3,
+        in_specs=(P(*AXIS_NAMES),) * 2,
         out_specs=P(),
         check_vma=False,
     )
-    def run(a_loc, b_loc, w_loc):
+    def run(a_loc, b_loc):
         op = bmg.ops[0]
-        lvl = {"wshard": op.to_blocked(peel(w_loc))[0]}
         ab = op.to_blocked(peel(a_loc))
         bb = op.to_blocked(peel(b_loc))
-        return bmg.dot_fn(0, lvl)(ab, bb)
+        return bmg.dot_fn(0)(ab, bb)
 
-    got = float(run(a_blk, b_blk, w))
+    got = float(run(a_blk, b_blk))
     assert got == pytest.approx(exact, rel=2e-7)
 
 
@@ -296,50 +294,41 @@ def test_blocked_spmd_solve_matches_single_device():
         interpret=True,
     )
 
-    # static env: per-level local masks + ownership weights
     N_np, RHS_np = build_cantilever_bc(grid, dtype=np.float32)
-    masks = []
-    m = N_np
-    for l in range(cfg.nlvls):
-        masks.append(m)
-        m = m[::2, ::2, ::2]
-    env_blk = [
-        {
-            "mask": jnp.asarray(d.to_blocked_nodal(masks[l], level=l)),
-            "w": jnp.asarray(
-                d.ownership_weights(l, 3).astype(np.float32)
-            ),
-        }
-        for l in range(cfg.nlvls)
-    ]
     E = phys.simp(jnp.asarray(x, jnp.float32))
     E_blk = jnp.asarray(d.to_blocked_elem(np.asarray(E)[..., None])[..., 0])
     b_blk = jnp.asarray(d.to_blocked_nodal(RHS_np * N_np))
-    env_spec = [
-        {"mask": P(*AXIS_NAMES), "w": P(*AXIS_NAMES)}
-        for _ in range(cfg.nlvls)
-    ]
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(*AXIS_NAMES), P(*AXIS_NAMES), env_spec),
+        in_specs=(P(*AXIS_NAMES), P(*AXIS_NAMES)),
         out_specs=(P(*AXIS_NAMES), P(), P()),
         check_vma=False,
     )
-    def run(E_loc, b_loc, env_loc):
+    def run(E_loc, b_loc):
         El = peel(E_loc)
         bl = peel(b_loc)
-        env = [
-            {k: peel(v) for k, v in lvl.items()} for lvl in env_loc
-        ]
         res = bmg.solve(
-            env, El, bl, jnp.zeros_like(bl),
+            El, bl, jnp.zeros_like(bl),
             rtol=cfg.ksp_rtol, maxiter=cfg.ksp_maxit,
         )
         return unpeel(res.x), res.iters, res.relres
 
-    u_blk, iters, relres = run(E_blk, b_blk, env_blk)
+    # the on-the-fly shard-local RHS must equal the nodal builder's
+    # (incl. corner halving at GLOBAL y extremes and shard gating)
+    @partial(
+        shard_map, mesh=mesh, in_specs=(),
+        out_specs=P(*AXIS_NAMES), check_vma=False,
+    )
+    def rhs_run():
+        op = bmg.op32
+        return unpeel(op.from_blocked(bmg.local_rhs()))
+
+    got_rhs = d.from_blocked_nodal(np.asarray(rhs_run()))
+    np.testing.assert_allclose(got_rhs, RHS_np * N_np, atol=0)
+
+    u_blk, iters, relres = run(E_blk, b_blk)
     assert float(relres) < cfg.ksp_rtol
     u = d.from_blocked_nodal(np.asarray(u_blk))
     scale = float(jnp.max(jnp.abs(ref.x)))

@@ -301,10 +301,14 @@ class BlockedHexOperator:
         keep = (r % np.int32(self.R) != 8).astype(vb.dtype)
         return vb * keep
 
-    def owned(self, dtype=jnp.float32) -> jax.Array:
-        """(rows, Lcp) 0/1 ownership weights: each global (x, y, z)
-        counted exactly once (pads, halos, y-overlap excluded).  Built
-        from iotas — XLA fuses it into consuming reductions."""
+    def xyz_iota(self):
+        """(x, y, z, valid) int/bool (rows, Lcp) index fields of the
+        blocked layout: the LOCAL nodal coordinates each position
+        holds, and the canonical-ownership predicate (pads, halos,
+        y-overlap excluded).  Everything downstream (ownership
+        weights, RHS predicates, shard masks) is built from these —
+        iota-born, so XLA fuses them into consuming ops with no stored
+        fields (the 512^3 memory lever)."""
         nx, ny, nz = self.nn
         r = jax.lax.broadcasted_iota(
             jnp.int32, (self.rows, self.Lcp), 0
@@ -318,21 +322,36 @@ class BlockedHexOperator:
         yl = l // np.int32(self.ZPc)
         zl = l % np.int32(self.ZPc)
         y = j * np.int32(self.yc) + yl - 1
-        ok = (
+        z = zl - 1
+        valid = (
             (x >= 0) & (x < nx)
             & (yl >= 1) & (yl <= self.yc) & (y < ny)
             & (zl >= 1) & (zl <= nz)
         )
+        return x, y, z, valid
+
+    def owned(self, dtype=jnp.float32) -> jax.Array:
+        """(rows, Lcp) 0/1 ownership weights: each global (x, y, z)
+        counted exactly once (pads, halos, y-overlap excluded).  Built
+        from iotas — XLA fuses it into consuming reductions."""
+        _, _, _, ok = self.xyz_iota()
         return ok.astype(dtype)
 
     def cantilever_rhs(self, load: float = -0.001,
-                       dtype=jnp.float32) -> jax.Array:
+                       dtype=jnp.float32, *,
+                       edge_gate=None, y_offset=0,
+                       ny_global: int | None = None) -> jax.Array:
         """Blocked RHS of the reference line load: F_z = load along the
         edge (x = nx-1, z = 0), halved at the two y corners
         (LinearElasticity.cc:158-171) — built from index predicates, so
         no (nx,ny,nz,3) nodal transient exists (the 512^3 lever).
         Duplicated y-chunk halo lanes get the true values (consistent
-        under linear combinations)."""
+        under linear combinations).
+
+        SPMD form (BlockedSpmdMG.local_rhs): `edge_gate` (traced bool)
+        gates the whole load to shards on the (x=last, z=0) edge,
+        `y_offset`/`ny_global` map local y to the GLOBAL y index for
+        the corner halving."""
         nx, ny, nz = self.nn
         r = jax.lax.broadcasted_iota(
             jnp.int32, (self.rows, self.Lcp), 0
@@ -349,8 +368,14 @@ class BlockedHexOperator:
             (x == nx - 1) & (zl == 1)
             & (y >= 0) & (y < ny) & (l < self.Lc)
         )
+        if edge_gate is not None:
+            on_edge = on_edge & edge_gate
+        gy = y + np.int32(y_offset) if isinstance(y_offset, int) else (
+            y + y_offset.astype(jnp.int32)
+        )
+        NY = np.int32(ny if ny_global is None else ny_global)
         w = jnp.where(
-            (y == 0) | (y == ny - 1), 0.5, 1.0
+            (gy == 0) | (gy == NY - 1), 0.5, 1.0
         ).astype(dtype)
         plane = jnp.where(on_edge, jnp.asarray(load, dtype) * w, 0.0)
         zero = jnp.zeros_like(plane)

@@ -44,10 +44,7 @@ from topopt_in_petsc_tpu.parallel.spmd import (
     restrict_spmd,
 )
 from topopt_in_petsc_tpu.solvers.cg import CGResult, pcg
-from topopt_in_petsc_tpu.solvers.chebyshev import (
-    chebyshev_smooth,
-    gershgorin_lambda_max,
-)
+from topopt_in_petsc_tpu.solvers.chebyshev import chebyshev_smooth
 from topopt_in_petsc_tpu.solvers.multigrid import coarsen_cell_field
 
 
@@ -140,19 +137,74 @@ class BlockedSpmdMG:
         self.coarse_maxit = coarse_maxit
         self.precise = precise_dots
 
+    # -- on-the-fly masks / weights / loads (ZERO stored fields) ------- #
+    #
+    # The single-chip blocked solver's decisive 512^3 memory lever —
+    # Dirichlet masks, ownership weights and the cantilever load as
+    # index predicates instead of stored nodal fields
+    # (solvers/blocked_mg.py, LinearElasticity.cc:143-171 computes BCs
+    # from coordinates too) — extended with the shard's mesh position
+    # (lax.axis_index): nothing mask-shaped is ever resident per chip.
+
+    def _wall_gate(self):
+        """Traced bool: this shard holds the global x == 0 wall."""
+        return lax.axis_index(AXIS_NAMES[0]) == 0
+
+    def maskb(self, op: BlockedHexOperator, dtype=jnp.float32):
+        """(rows, 1) Dirichlet mask factor in the blocked layout: 0 at
+        the GLOBAL x == 0 node plane, 1 elsewhere (broadcasts over
+        (dof, rows, Lcp)); iota-built, fused by XLA."""
+        r = lax.broadcasted_iota(jnp.int32, (op.rows, 1), 0)
+        wall = (r % np.int32(op.R) == 8) & self._wall_gate()
+        return 1.0 - wall.astype(dtype)
+
+    def shard_weight(self, op: BlockedHexOperator):
+        """(rows, Lcp) 0/1 shard-duplication weights (low plane owned
+        by the lower mesh neighbor) for dots, or None on a (1,1,1)
+        mesh; iota-built."""
+        x, y, z, _ = op.xyz_iota()
+        w = None
+        for a, coord in ((0, x), (1, y), (2, z)):
+            if self.mesh_shape[a] == 1:
+                continue
+            dup = (coord == 0) & (lax.axis_index(AXIS_NAMES[a]) > 0)
+            f = 1.0 - dup.astype(jnp.float32)
+            w = f if w is None else w * f
+        return w
+
+    def local_rhs(self, dtype=jnp.float32) -> jax.Array:
+        """Shard-local blocked cantilever RHS from index predicates +
+        mesh position (BlockedHexOperator.cantilever_rhs's SPMD form):
+        nonzero only on shards at the (x = last, z = 0) edge, corner
+        halving at the GLOBAL y extremes; duplicated planes get
+        identical (true) values."""
+        op = self.op32
+        mx, my, mz = self.mesh_shape
+        gate = (lax.axis_index(AXIS_NAMES[0]) == mx - 1) & (
+            lax.axis_index(AXIS_NAMES[2]) == 0
+        )
+        y_off = lax.axis_index(AXIS_NAMES[1]) * np.int32(op.nn[1] - 1)
+        ny_global = my * (op.nn[1] - 1) + 1
+        return op.cantilever_rhs(
+            dtype=dtype, edge_gate=gate, y_offset=y_off,
+            ny_global=ny_global,
+        )
+
     # -- per-solve setup (traced, inside shard_map) -------------------- #
 
-    def setup(self, env, scale_fine: jax.Array):
-        """Augment env with per-level blocked quantities: eb (kernel
-        coefficient), maskb, dinvb, wshard (shard-duplication weights
-        for dots), lmax.  Nodal stencil math identical to
-        SpmdMultigrid.setup (rediscretized coarsening)."""
+    def setup(self, scale_fine: jax.Array):
+        """Per-level {eb, dinvb, lmax(, eb32)} from the fine SIMP
+        scale.  Nodal stencil math identical to SpmdMultigrid.setup
+        (rediscretized coarsening) with the Dirichlet treatment as an
+        on-the-fly predicate; halo accumulation completes d/R across
+        shards before the Gershgorin bound (pmax over the mesh)."""
         Es = [scale_fine.astype(self.dtype)]
         for l in range(1, self.nlvls):
             Es.append(coarsen_cell_field(Es[-1]))
+        gate = self._wall_gate()
         out = []
         for l in range(self.nlvls):
-            lvl = dict(env[l])
+            lvl = {}
             op = self.ops[l]
             coef = Es[l]
             nn = tuple(s + 1 for s in coef.shape)
@@ -160,25 +212,20 @@ class BlockedSpmdMG:
             R = hex_operator_absrowsum(coef, self.KEs[l], nn)
             d = halo_accumulate(d, self.mesh_shape)
             R = halo_accumulate(R, self.mesh_shape)
-            mask = lvl.get("mask")
-            if mask is not None:
-                d = mask * d + (1.0 - mask)
-            lmax = pmax_scalar(gershgorin_lambda_max(R, d, mask))
+            ix0 = (
+                lax.broadcasted_iota(
+                    jnp.int32, (nn[0], 1, 1, 1), 0
+                )
+                == 0
+            ) & gate
+            d = jnp.where(ix0, 1.0, d)
+            lvl["lmax"] = pmax_scalar(
+                jnp.max(jnp.where(ix0, 1.0, R / d))
+            )
             lvl["eb"] = op.prepare_coef(coef)
             lvl["dinvb"] = op.to_blocked(1.0 / d)
-            lvl["maskb"] = (
-                op.to_blocked(mask) if mask is not None else None
-            )
             if l == 0 and self.op32 is not self.ops[0]:
                 lvl["eb32"] = self.op32.prepare_coef(coef)
-            # shard-duplication weights in the blocked layout; the dof
-            # components are identical (ownership is per NODE), so one
-            # (rows, Lcp) slice feeds BlockedHexOperator.dot's w_extra
-            # (which multiplies in the layout-duplication weights)
-            lvl["wshard"] = op.to_blocked(
-                lvl["w"].astype(jnp.float32)
-            )[0]
-            lvl["lmax"] = lmax
             out.append(lvl)
         return out
 
@@ -188,26 +235,23 @@ class BlockedSpmdMG:
         """Masked distributed K@v on blocked arrays:
         N^T K N + (I - N) with halo accumulation."""
         op = self.ops[level]
-        maskb = lvl["maskb"]
-        v = maskb * vb if maskb is not None else vb
-        Kv = op.matvec(op.refresh(v), lvl["eb"])
+        m = self.maskb(op, vb.dtype)
+        Kv = op.matvec(op.refresh(m * vb), lvl["eb"])
         Kv = halo_accumulate_blocked(Kv, op, self.mesh_shape)
-        if maskb is not None:
-            Kv = maskb * Kv + (1.0 - maskb) * vb
-        return Kv
+        return m * Kv + (1.0 - m) * vb
 
-    def dot_fn(self, level: int, lvl):
+    def dot_fn(self, level: int):
         """Globally-correct inner product on blocked arrays: the
         single-chip chunked two-stage reduction (per-row f32 partials,
         f64 across partials — BlockedHexOperator.dot, same accuracy
-        rationale as solvers/cg._dot) with the shard-duplication
-        weights folded in via `w_extra`, then psum over the mesh."""
+        rationale as solvers/cg._dot) with the iota-built
+        shard-duplication weights folded in via `w_extra`, then psum
+        over the mesh."""
         op = self.ops[level]
-        wshard = lvl["wshard"]
         precise = self.precise
 
         def dot(a, b):
-            s = op.dot(a, b, precise, w_extra=wshard)
+            s = op.dot(a, b, precise, w_extra=self.shard_weight(op))
             return lax.psum(s, AXIS_NAMES)
 
         return dot
@@ -228,7 +272,7 @@ class BlockedSpmdMG:
                 rtol=self.coarse_rtol,
                 maxiter=self.coarse_maxit,
                 flexible=False,
-                dot=self.dot_fn(level, lvl),
+                dot=self.dot_fn(level),
             )
             return res.x
 
@@ -242,17 +286,11 @@ class BlockedSpmdMG:
         # level hop through the local nodal layout (restrict/prolong
         # ride the existing halo-aware SPMD transfer operators)
         opc = self.ops[level + 1]
-        nxt = env[level + 1]
         rc = restrict_spmd(op.from_blocked(r), self.mesh_shape)
-        rcb = opc.to_blocked(rc)
-        if nxt["maskb"] is not None:
-            rcb = nxt["maskb"] * rcb
+        rcb = self.maskb(opc, self.mg_dtype) * opc.to_blocked(rc)
         ecb = self.vcycle(env, rcb, level + 1)
         e = prolong_spmd(opc.from_blocked(ecb))
-        eb = op.to_blocked(e)
-        if lvl["maskb"] is not None:
-            eb = lvl["maskb"] * eb
-        x = x + eb
+        x = x + self.maskb(op, self.mg_dtype) * op.to_blocked(e)
         x = smooth(b, x)
         return x
 
@@ -269,17 +307,13 @@ class BlockedSpmdMG:
         else:
             op32 = self.op32
             eb32 = lvl0["eb32"]
-            maskb = lvl0["maskb"]
-            m32 = None if maskb is None else maskb.astype(jnp.float32)
             mesh_shape = self.mesh_shape
 
             def A(v):
-                vv = m32 * v if m32 is not None else v
-                Kv = op32.matvec(op32.refresh(vv), eb32)
+                m = self.maskb(op32, v.dtype)
+                Kv = op32.matvec(op32.refresh(m * v), eb32)
                 Kv = halo_accumulate_blocked(Kv, op32, mesh_shape)
-                if m32 is not None:
-                    Kv = m32 * Kv + (1.0 - m32) * v
-                return Kv
+                return m * Kv + (1.0 - m) * v
 
             mgdt = self.mg_dtype
 
@@ -299,9 +333,8 @@ class BlockedSpmdMG:
 
     def solve(
         self,
-        env,
         scale_fine: jax.Array,
-        b: jax.Array,
+        b: jax.Array | None,
         x0: jax.Array,
         *,
         rtol: float = 1e-5,
@@ -309,19 +342,25 @@ class BlockedSpmdMG:
         ksp_type: str = "fcg",
     ):
         """Solve K u = b for LOCAL nodal b/x0 (consistent overlapping
-        vectors); returns (u_local_nodal, iters, relres).  All inner
-        work runs on resident blocked arrays."""
-        env = self.setup(env, scale_fine)
+        vectors); b=None uses the on-the-fly cantilever load
+        (local_rhs — no nodal RHS exists anywhere).  Returns
+        (u_local_nodal, iters, relres).  All inner work runs on
+        resident blocked arrays."""
+        env = self.setup(scale_fine)
         op32 = self.op32
         A, M = self._outer_ops(env)
+        b_blk = (
+            self.local_rhs(jnp.float32) if b is None
+            else op32.to_blocked(b)
+        )
         res = pcg(
             A,
-            op32.to_blocked(b),
+            b_blk,
             op32.to_blocked(x0),
             M,
             rtol=rtol,
             maxiter=maxiter,
-            dot=self.dot_fn(0, env[0]),
+            dot=self.dot_fn(0),
             **self._pcg_opts(ksp_type),
         )
         return CGResult(
@@ -338,33 +377,37 @@ class BlockedSpmdMG:
     # Both functions run INSIDE shard_map; the caller unpeels/peels the
     # returned trees across the jit boundary (parallel/spmd_model.py).
 
-    CARRY_KEYS = ("eb", "dinvb", "maskb", "wshard", "lmax", "eb32")
+    CARRY_KEYS = ("eb", "dinvb", "lmax", "eb32")
 
     def solve_init(
         self,
-        env,
         scale_fine: jax.Array,
-        b: jax.Array,
+        b: jax.Array | None,
         x0: jax.Array,
         *,
         rtol,
         ksp_type: str = "fcg",
     ):
         """setup + initial residual/preconditioner application.  Returns
-        (carry_env, PCGState): `carry_env` is the setup() env stripped
-        to the keys the iteration needs (no static masks/weights — the
-        caller already holds those), both trees ready to unpeel."""
-        env = self.setup(env, scale_fine)
+        (carry_env, PCGState): `carry_env` is the setup() env (masks/
+        weights are iota-built per program, so only {eb, dinvb, lmax,
+        eb32} cross the boundary), both trees ready to unpeel.  b=None
+        uses the on-the-fly cantilever load."""
+        env = self.setup(scale_fine)
         op32 = self.op32
         A, M = self._outer_ops(env)
+        b_blk = (
+            self.local_rhs(jnp.float32) if b is None
+            else op32.to_blocked(b)
+        )
         _, st = pcg(
             A,
-            op32.to_blocked(b),
+            b_blk,
             op32.to_blocked(x0),
             M,
             rtol=rtol,
             maxiter=0,
-            dot=self.dot_fn(0, env[0]),
+            dot=self.dot_fn(0),
             return_state=True,
             **self._pcg_opts(ksp_type),
         )
@@ -378,8 +421,6 @@ class BlockedSpmdMG:
         """Advance the SAME Krylov solve to iteration `cap` (a traced
         i32).  `carry` is solve_init's env; `st` the PCGState."""
         env = [dict(lvl) for lvl in carry]
-        for lvl in env:
-            lvl.setdefault("maskb", None)
         A, M = self._outer_ops(env)
         _, st = pcg(
             A,
@@ -388,7 +429,7 @@ class BlockedSpmdMG:
             M,
             rtol=rtol,
             maxiter=cap,
-            dot=self.dot_fn(0, env[0]),
+            dot=self.dot_fn(0),
             state0=st,
             return_state=True,
             **self._pcg_opts(ksp_type),

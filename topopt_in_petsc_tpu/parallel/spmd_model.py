@@ -178,19 +178,33 @@ class SpmdElasticity:
             level_applies=level_applies,
         )
 
-        N_np, RHS_np = build_cantilever_bc(self.grid, dtype=np_dt)
-        masks = []
-        mcur = N_np
-        for l in range(cfg.nlvls):
-            masks.append(mcur)
-            mcur = mcur[::2, ::2, ::2]
-        env_np = self.mg.build_static_env(masks)
-        self.rhs_blk = self._put_blk(
-            self.decomp.to_blocked_nodal(RHS_np).astype(np_dt)
-        )
-        self.env_blk = jax.tree_util.tree_map(
-            self._put_blk, env_np
-        )
+        if self._bspmd is not None:
+            # blocked engine: Dirichlet masks, ownership weights and
+            # the cantilever load are iota-built inside the programs
+            # (BlockedSpmdMG.maskb/shard_weight/local_rhs) — no nodal
+            # mask/weight/RHS fields exist on device OR host, the
+            # decisive per-chip memory lever at 512^3-class shards.
+            # rhs_blk is a (mx,my,mz,1,1,1,1) placeholder so program
+            # signatures stay uniform across engines.
+            mx, my, mz = self.mesh_shape
+            self.rhs_blk = self._put_blk(
+                np.zeros((mx, my, mz, 1, 1, 1, 1), np_dt)
+            )
+            self.env_blk = [{} for _ in range(cfg.nlvls)]
+        else:
+            N_np, RHS_np = build_cantilever_bc(self.grid, dtype=np_dt)
+            masks = []
+            mcur = N_np
+            for l in range(cfg.nlvls):
+                masks.append(mcur)
+                mcur = mcur[::2, ::2, ::2]
+            env_np = self.mg.build_static_env(masks)
+            self.rhs_blk = self._put_blk(
+                self.decomp.to_blocked_nodal(RHS_np).astype(np_dt)
+            )
+            self.env_blk = jax.tree_util.tree_map(
+                self._put_blk, env_np
+            )
         self.KE_fine = jnp.asarray(KEs[0], self.dtype)
 
         self._solve_sm = self._build_solve()
@@ -235,9 +249,10 @@ class SpmdElasticity:
         cfg = self.cfg
         E = self.simp(x.astype(self.dtype))
         if self._bspmd is not None:
-            # resident-blocked local solve (parallel/blocked_spmd.py)
+            # resident-blocked local solve (parallel/blocked_spmd.py);
+            # b=None: the cantilever load is an on-the-fly predicate
             res = self._bspmd.solve(
-                env, E, rhs, u0,
+                E, None, u0,
                 rtol=cfg.ksp_rtol, maxiter=cfg.ksp_maxit,
                 ksp_type=cfg.ksp_type,
             )
@@ -581,13 +596,10 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         from topopt_in_petsc_tpu.solvers.cg import PCGState
 
         # static structure of the carried solver env (solve_init strips
-        # to CARRY_KEYS; masks exist on every level in this engine)
+        # to CARRY_KEYS; masks/weights are iota-built, never carried)
         carry_spec = []
         for l in range(cfg.nlvls):
-            d = {
-                "eb": BLK, "dinvb": BLK, "maskb": BLK, "wshard": BLK,
-                "lmax": REP,
-            }
+            d = {"eb": BLK, "dinvb": BLK, "lmax": REP}
             if l == 0 and bspmd.op32 is not bspmd.ops[0]:
                 d["eb32"] = BLK
             carry_spec.append(d)
@@ -611,11 +623,9 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         def _pre(xPhys_blk, u0_blk, rhs_blk, env_blk):
             x = peel(xPhys_blk)
             u0 = peel(u0_blk)
-            rhs = peel(rhs_blk)
-            env = jax.tree_util.tree_map(peel, env_blk)
             E = engine.simp(x.astype(dt))
             carry, st = bspmd.solve_init(
-                env, E, rhs, u0,
+                E, None, u0,
                 rtol=cfg.ksp_rtol, ksp_type=cfg.ksp_type,
             )
             carry = jax.tree_util.tree_map(_unpeel_leaf, carry)
