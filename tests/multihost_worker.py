@@ -25,7 +25,9 @@ def main():
     nprocs = int(sys.argv[2])
     port = int(sys.argv[3])
     workdir = sys.argv[4]
-    resume = len(sys.argv) > 5 and sys.argv[5] == "resume"
+    mode = sys.argv[5] if len(sys.argv) > 5 else ""
+    resume = mode == "resume"
+    blocked = mode == "blocked"
 
     import jax
 
@@ -56,6 +58,14 @@ def main():
         latest = RestartManager(workdir).latest()
         assert latest is not None
         kw.update(maxItr=3, restartFileVec=latest, output_dat=False)
+    elif blocked:
+        # the zero-storage blocked-resident engine (masks/weights/RHS
+        # as axis_index-gated predicates) across REAL process
+        # boundaries; f32 (the blocked kernel stack's dtype)
+        kw.update(
+            maxItr=2, dtype="float32", operator_impl="blocked",
+            output_dat=False, output_cadence_vtu=False, restart=False,
+        )
     else:
         kw.update(maxItr=2)
     cfg = TopOptConfig(**kw)
@@ -64,7 +74,7 @@ def main():
     if resume:
         assert d.itr == 2, f"expected resume at itr 2, got {d.itr}"
     hist = d.run()
-    tag = "resume_" if resume else ""
+    tag = f"{mode}_" if mode else ""
     with open(os.path.join(workdir, f"{tag}hist{pid}.json"), "w") as f:
         json.dump({"fx": hist["fx"], "gx": hist["gx"]}, f)
     print(f"worker {pid}: done, fx={hist['fx']}", flush=True)
