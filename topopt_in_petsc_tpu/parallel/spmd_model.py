@@ -447,6 +447,8 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         if external_solve:
             in_specs = in_specs + (BLK, REP, REP)
 
+        donate = (0, 4) if external_solve else ()
+
         @partial(
             shard_map,
             mesh=mesh,
@@ -571,7 +573,11 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
                 ]
             )
 
-        return jax.jit(step)
+        # external mode donates the old state (dead after the call: the
+        # driver replaces it; x->xo1 etc. alias input->output) and the
+        # kernel-layout solution (the tail converts it to nodal u) —
+        # together several full fields of peak HBM at 512^3 shards
+        return jax.jit(step, donate_argnums=donate)
 
     # host-chunked state solve (the -ksp_chunk lever on the SPMD path):
     # per-shard work sets program runtime, so the auto rule uses LOCAL
@@ -646,8 +652,33 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             )
             return PCGState(*[_unpeel_leaf(v) for v in st])
 
-        _pre_jit = jax.jit(_pre)
+        # donate the warm-start u into the solve (one nodal vector of
+        # HBM freed for the chunk loop; the tail rebuilds u from the
+        # solver's kernel-layout solution)
+        _pre_jit = jax.jit(_pre, donate_argnums=(1,))
         _chunk_jit = jax.jit(_chunk_step, donate_argnums=(1,))
+        mx_, my_, mz_ = engine.mesh_shape
+
+        def _dummy_u():
+            # fresh each call: the tail DONATES the state, so a shared
+            # placeholder buffer would be dead on the second iteration
+            return engine._put_blk(
+                np.zeros((mx_, my_, mz_, 1, 1, 1, 1), np.float32)
+            )
+
+        def _dedupe_state(s: SpmdOptState) -> SpmdOptState:
+            """Donation needs distinct buffers per leaf; the init state
+            aliases (x is xTilde is xo1 is xo2).  id()-based copy-on-
+            duplicate — a no-op after the first iteration."""
+            seen = set()
+            out = []
+            for v in s:
+                if id(v) in seen:
+                    v = v + jnp.zeros((), v.dtype)
+                else:
+                    seen.add(id(v))
+                out.append(v)
+            return SpmdOptState(*out)
 
     # standalone FilterProject over the SPMD blocks (main.cc:48-52's
     # pre-loop filter and the beta-continuation re-projection): same
@@ -697,9 +728,13 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             # host-stepped Krylov: the full PCGState crosses the jit
             # boundary, so the chunked trajectory IS the single-program
             # solve (solvers/cg.PCGState semantics)
+            st = _dedupe_state(st)
             carry, pst = _pre_jit(
                 st.xPhys, st.u, engine.rhs_blk, engine.env_blk
             )
+            # st.u was donated into the solve; the tail derives the new
+            # u from the solver's kernel-layout solution
+            st = st._replace(u=_dummy_u())
             bnorm = float(pst.bnorm)
             tol = max(cfg.ksp_rtol * bnorm, 1e-50)
             while (
