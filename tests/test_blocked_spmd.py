@@ -231,6 +231,37 @@ def test_spmd_chunked_step_identical_to_single_program():
     assert np.max(np.abs(xr - xg)) < 1e-5
 
 
+def test_spmd_chunked_bf16_identical():
+    """The PRODUCTION giga-dof configuration — bf16 V-cycle + Krylov
+    compression + host-chunked outer loop — is trajectory-identical to
+    its unchunked form (chunking must not interact with compression)."""
+    from topopt_in_petsc_tpu.parallel.spmd_model import (
+        make_spmd_fused_step,
+    )
+
+    common = dict(
+        nx=NN[0], ny=NN[1], nz=NN[2], nlvls=2, dtype="float32",
+        rmin=0.16, mesh_shape=MESH_SHAPE, operator_impl="blocked",
+        mg_dtype="bfloat16", ksp_rtol=1e-5, ksp_maxit=100,
+    )
+
+    def run(ksp_chunk):
+        cfg = TopOptConfig(ksp_chunk=ksp_chunk, **common)
+        cfg.validate()
+        step, state, _ = make_spmd_fused_step(cfg)
+        for itr in (1, 2):
+            state = step(state, itr)
+        return state
+
+    sref = run(0)
+    sgot = run(3)
+    assert int(sgot.solver_iters) == int(sref.solver_iters)
+    assert float(sgot.fx) == pytest.approx(float(sref.fx), rel=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sgot.xPhys), np.asarray(sref.xPhys), atol=2e-5
+    )
+
+
 def test_spmd_mg_dtype_bf16_converges():
     """-mg_dtype bfloat16 on the SPMD engine: bf16 V-cycle storage with
     the f32 outer Krylov still converges to the f32 solution (the
