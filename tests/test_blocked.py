@@ -261,7 +261,9 @@ def test_fused_step_chunked_identical():
     from topopt_in_petsc_tpu.config import TopOptConfig
     from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
 
-    kw = dict(nx=9, ny=5, nz=5, nlvls=2, dtype="float32", rmin=0.24,
+    # rmin 0.3 -> stencil halfwidth 1: the tail program runs a REAL
+    # convolution filter (rmin 0.24 on this grid degenerates to s=0)
+    kw = dict(nx=9, ny=5, nz=5, nlvls=2, dtype="float32", rmin=0.3,
               operator_impl="blocked", ksp_rtol=1e-6)
 
     def run(ksp_chunk):
