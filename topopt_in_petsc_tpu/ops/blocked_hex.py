@@ -333,8 +333,27 @@ class BlockedHexOperator:
     def owned(self, dtype=jnp.float32) -> jax.Array:
         """(rows, Lcp) 0/1 ownership weights: each global (x, y, z)
         counted exactly once (pads, halos, y-overlap excluded).  Built
-        from iotas — XLA fuses it into consuming reductions."""
-        _, _, _, ok = self.xyz_iota()
+        from iotas — XLA fuses it into consuming reductions.  (Kept as
+        a standalone expression — not via xyz_iota — so the traced form
+        of every cached single-chip program is unchanged.)"""
+        nx, ny, nz = self.nn
+        r = jax.lax.broadcasted_iota(
+            jnp.int32, (self.rows, self.Lcp), 0
+        )
+        l = jax.lax.broadcasted_iota(
+            jnp.int32, (self.rows, self.Lcp), 1
+        )
+        rl = r % np.int32(self.R)
+        x = rl - 8
+        j = r // np.int32(self.R)
+        yl = l // np.int32(self.ZPc)
+        zl = l % np.int32(self.ZPc)
+        y = j * np.int32(self.yc) + yl - 1
+        ok = (
+            (x >= 0) & (x < nx)
+            & (yl >= 1) & (yl <= self.yc) & (y < ny)
+            & (zl >= 1) & (zl <= nz)
+        )
         return ok.astype(dtype)
 
     def cantilever_rhs(self, load: float = -0.001,
@@ -370,9 +389,14 @@ class BlockedHexOperator:
         )
         if edge_gate is not None:
             on_edge = on_edge & edge_gate
-        gy = y + np.int32(y_offset) if isinstance(y_offset, int) else (
-            y + y_offset.astype(jnp.int32)
-        )
+        # keep the single-chip trace byte-identical to the pre-SPMD
+        # form (compile-cache stability for the big cached programs)
+        if isinstance(y_offset, int) and y_offset == 0:
+            gy = y
+        elif isinstance(y_offset, int):
+            gy = y + np.int32(y_offset)
+        else:
+            gy = y + y_offset.astype(jnp.int32)
         NY = np.int32(ny if ny_global is None else ny_global)
         w = jnp.where(
             (gy == 0) | (gy == NY - 1), 0.5, 1.0
