@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import os
 import signal
 import sys
 import time
@@ -162,13 +163,13 @@ def bench_solve(nelem_axis: int):
     return dt, int(res.iters), float(res.relres), cfg
 
 
-def setup_512():
+def setup_512(ne: int = 512, nlvls: int = 6):
     """Build the 512^3 problem (compile happens on the first solve)."""
     from topopt_in_petsc_tpu.config import TopOptConfig
     from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
 
     cfg = TopOptConfig(
-        nx=513, ny=513, nz=513, nlvls=6, dtype="float32",
+        nx=ne + 1, ny=ne + 1, nz=ne + 1, nlvls=nlvls, dtype="float32",
         precise_dots=False, smooth_sweeps=2, ksp_maxit=400,
         operator_impl="auto",
     )
@@ -244,6 +245,20 @@ def emit(value, vs_baseline, metric, stages):
 def main():
     stages: dict = {}
 
+    # BENCH_SMOKE=1: identical code paths at tiny sizes — the SUCCESS
+    # path (stage bookkeeping, metric naming, emit) is CPU-testable
+    # instead of first executing for real against the driver's TPU run
+    smoke = bool(os.environ.get("BENCH_SMOKE"))
+    spmv_trials = (
+        ((16, "blocked"), (16, "xla")) if smoke else
+        ((256, "blocked"), (256, "pallas"), (256, "xla"),
+         (128, "blocked"), (128, "xla"))
+    )
+    solve_ne = 16 if smoke else 128
+    opt1 = (16, 2) if smoke else (128, 4)
+    opt2 = (16, 2) if smoke else (256, 5)
+    big_ne, big_nlvls = (32, 2) if smoke else (512, 6)
+
     # --- backend probe: jax.devices() HANGS inside native gRPC when
     # the TPU tunnel is down (SIGALRM can't interrupt it — the handler
     # never runs while the main thread is blocked in C++), so probe in
@@ -288,8 +303,7 @@ def main():
     # (fallbacks: per-apply pallas, xla form, then 128^3) ---
     nnz_s = None
     metric = "elasticity_spmv_nnz_per_s"  # suffixed on success only
-    for ne, impl in ((256, "blocked"), (256, "pallas"), (256, "xla"),
-                     (128, "blocked"), (128, "xla")):
+    for ne, impl in spmv_trials:
         try:
             with stage_timeout(560):
                 dt, grid = bench_spmv(ne, impl)
@@ -315,11 +329,11 @@ def main():
     # --- diagnostics: MG-PCG solve + full opt iteration at 128^3 ---
     try:
         with stage_timeout(420):
-            sdt, iters, relres, cfg = bench_solve(128)
+            sdt, iters, relres, cfg = bench_solve(solve_ne)
         dof_s = cfg.ndof * max(iters, 1) / sdt
         log(
-            f"solve 128^3: {sdt:.3f} s, iters={iters}, relres={relres:.2e},"
-            f" PCG {dof_s / 1e6:.1f} Mdof*iter/s"
+            f"solve {solve_ne}^3: {sdt:.3f} s, iters={iters}, "
+            f"relres={relres:.2e}, PCG {dof_s / 1e6:.1f} Mdof*iter/s"
         )
         stages["solve_128"] = {
             "ok": True, "s": sdt, "iters": iters, "relres": relres,
@@ -332,9 +346,9 @@ def main():
 
     try:
         with stage_timeout(420):
-            it_dt, s2 = bench_opt_iter(128)
+            it_dt, s2 = bench_opt_iter(*opt1)
         log(
-            f"opt-iter 128^3: {it_dt:.3f} s/iteration "
+            f"opt-iter {opt1[0]}^3: {it_dt:.3f} s/iteration "
             f"(solver_iters={int(s2.solver_iters)}, fx={float(s2.fx):.4f})"
         )
         stages["opt_iter_128"] = {
@@ -351,9 +365,9 @@ def main():
     # (fused single-program step, 5-level MG, one chip)
     try:
         with stage_timeout(560):
-            it_dt, s2 = bench_opt_iter(256, nlvls=5)
+            it_dt, s2 = bench_opt_iter(opt2[0], nlvls=opt2[1])
         log(
-            f"opt-iter 256^3 (fused): {it_dt:.3f} s/iteration "
+            f"opt-iter {opt2[0]}^3 (fused): {it_dt:.3f} s/iteration "
             f"(solver_iters={int(s2.solver_iters)}, fx={float(s2.fx):.4f})"
         )
         stages["opt_iter_256"] = {
@@ -373,7 +387,7 @@ def main():
     phys5 = None
     try:
         with stage_timeout(60):
-            phys5, x5, cfg5 = setup_512()
+            phys5, x5, cfg5 = setup_512(big_ne, big_nlvls)
         with stage_timeout(2400):
             t0 = time.perf_counter()
             warm_iters = warm_512(phys5, x5)
