@@ -3,8 +3,10 @@
 Primary metric (stdout, ONE json line): effective SpMV throughput of the
 matrix-free elasticity operator at 256^3 elements, in nnz/s.  "Effective
 nnz" counts the nonzeros the reference's assembled BAIJ matrix would hold:
-81 block-couplings per node x 3x3 entries = 729 per node-row triple, i.e.
-27 * 9 * ndof (SURVEY §6 / BASELINE.md).
+27 node-couplings per node x 3x3 block entries = 243 nnz per node, i.e.
+81 * ndof with ndof = 3 * nnodes (SURVEY §6 / BASELINE.md).  NOTE:
+rounds 1-3 reported 3x this (27*9*ndof = 729/node, double-counting the
+dof factor); all pre-round-4 Gnnz/s figures divide by 3 to compare.
 
 vs_baseline: ratio against the reference's estimated per-core CPU SpMV
 throughput of 5.0e8 nnz/s (a PETSc BAIJ SpMV streams ~12 bytes/nnz; at
@@ -64,9 +66,13 @@ def stage_timeout(seconds: int):
 def _sync(out):
     """Force completion via a scalar readback: on this axon backend
     `block_until_ready` does NOT synchronize pallas-containing programs
-    (measured: a 200 ms kernel reads as 0.1 ms)."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    return float(jnp.asarray(leaf).reshape(-1)[0])
+    (measured: a 200 ms kernel reads as 0.1 ms).
+
+    Scalar INDEXING, not reshape(-1)[0]: reshaping a minor-dim-3 tiled
+    array to 1-D lane-pads 3->128 (a ~43x relayout copy — 65 GiB for a
+    (513,513,513,3) field, which crashes the 512^3 stage at compile)."""
+    leaf = jnp.asarray(jax.tree_util.tree_leaves(out)[0])
+    return float(leaf[(0,) * leaf.ndim])
 
 
 def _time_fn(fn, *args, reps=20, warmup=3):
@@ -303,13 +309,22 @@ def main():
     # (fallbacks: per-apply pallas, xla form, then 128^3) ---
     nnz_s = None
     metric = "elasticity_spmv_nnz_per_s"  # suffixed on success only
+    first_trial = True
     for ne, impl in spmv_trials:
         try:
-            with stage_timeout(560):
+            # the preferred (first) implementation gets a cold-cache
+            # compile budget: an alarm-interrupted remote compile is
+            # NOT cached, so a short fuse after a cache-invalidating
+            # jax bump would starve every retry forever (round-4 r3->r4
+            # bump: the 256^3 blocked program took >560 s to rebuild)
+            with stage_timeout(1500 if first_trial else 560):
+                first_trial = False
                 dt, grid = bench_spmv(ne, impl)
             log(f"spmv impl={impl}")
             ndof = 3 * grid.nnode
-            nnz_s = 27 * 9 * ndof / dt
+            # 243 nnz/node = 81 nnz per scalar dof-row (27 node-
+            # couplings x 3x3 blocks); rounds 1-3 inflated this 3x
+            nnz_s = 81 * ndof / dt
             log(
                 f"spmv {ne}^3: {dt * 1e3:.3f} ms/matvec, ndof={ndof:,},"
                 f" eff {nnz_s / 1e9:.2f} Gnnz/s"
@@ -328,7 +343,7 @@ def main():
 
     # --- diagnostics: MG-PCG solve + full opt iteration at 128^3 ---
     try:
-        with stage_timeout(420):
+        with stage_timeout(900):
             sdt, iters, relres, cfg = bench_solve(solve_ne)
         dof_s = cfg.ndof * max(iters, 1) / sdt
         log(
@@ -345,7 +360,7 @@ def main():
         }
 
     try:
-        with stage_timeout(420):
+        with stage_timeout(900):
             it_dt, s2 = bench_opt_iter(*opt1)
         log(
             f"opt-iter {opt1[0]}^3: {it_dt:.3f} s/iteration "
@@ -364,7 +379,7 @@ def main():
     # BASELINE.md config #4: wall-clock per opt iteration at 256^3
     # (fused single-program step, 5-level MG, one chip)
     try:
-        with stage_timeout(560):
+        with stage_timeout(1200):
             it_dt, s2 = bench_opt_iter(opt2[0], nlvls=opt2[1])
         log(
             f"opt-iter {opt2[0]}^3 (fused): {it_dt:.3f} s/iteration "
@@ -388,7 +403,7 @@ def main():
     try:
         with stage_timeout(60):
             phys5, x5, cfg5 = setup_512(big_ne, big_nlvls)
-        with stage_timeout(2400):
+        with stage_timeout(3000):
             t0 = time.perf_counter()
             warm_iters = warm_512(phys5, x5)
             log(

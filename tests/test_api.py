@@ -147,6 +147,7 @@ def test_fused_flag_routes_to_spmd_driver(tmp_path):
     np.testing.assert_allclose(h2["fx"], h1["fx"], rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_beta_continuation_parity_across_drivers(tmp_path):
     """Projection + beta continuation: the fused and SPMD drivers must
     reproduce the interactive Driver's trajectory THROUGH a beta change

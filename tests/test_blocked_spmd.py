@@ -187,6 +187,7 @@ def test_blocked_fallback_warns(capsys):
     assert "float32-only" in out
 
 
+@pytest.mark.slow
 def test_spmd_chunked_step_identical_to_single_program():
     """-ksp_chunk on the SPMD engine: the host-stepped Krylov carries
     the full PCGState across jit calls, so the fused-step trajectory
@@ -231,6 +232,7 @@ def test_spmd_chunked_step_identical_to_single_program():
     assert np.max(np.abs(xr - xg)) < 1e-5
 
 
+@pytest.mark.slow
 def test_spmd_chunked_bf16_identical():
     """The PRODUCTION giga-dof configuration — bf16 V-cycle + Krylov
     compression + host-chunked outer loop — is trajectory-identical to
@@ -302,6 +304,7 @@ def test_spmd_mg_dtype_bf16_converges():
     )
 
 
+@pytest.mark.slow
 def test_blocked_spmd_solve_matches_single_device():
     """Full resident-blocked SPMD MG-PCG == single-device solve."""
     cfg = TopOptConfig(

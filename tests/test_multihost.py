@@ -14,6 +14,10 @@ import sys
 import numpy as np
 import pytest
 
+# real 2-process jax.distributed jobs (~2.5 min together): out of the
+# default gate, in the CI-style full run (RUN_SLOW=1)
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

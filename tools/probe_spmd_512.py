@@ -28,7 +28,10 @@ from topopt_in_petsc_tpu.parallel.spmd_model import (  # noqa: E402
 
 
 def _sync(o):
-    return float(jnp.asarray(jax.tree_util.tree_leaves(o)[0]).reshape(-1)[0])
+    # scalar INDEX, not reshape(-1)[0]: reshaping a minor-dim-3 tiled
+    # array to 1-D lane-pads 3->128 (a 65 GiB relayout at 513^3)
+    a = jnp.asarray(jax.tree_util.tree_leaves(o)[0])
+    return float(a[(0,) * a.ndim])
 
 
 def main():

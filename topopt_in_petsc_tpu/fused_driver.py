@@ -41,6 +41,11 @@ class FusedDriver:
         self.grid = aux["grid"]
         self.filt = aux["filt"]
         self._filt_consts = aux["filt_consts"]
+        # on the chunked (giga-dof) route OptState.u lives in the
+        # solver's kernel layout; these convert at IO/restart
+        # boundaries only (identity otherwise)
+        self._u_to_nodal = aux["u_to_nodal"]
+        self._u_from_nodal = aux["u_from_nodal"]
         self.dtype = cfg.jnp_dtype
         # beta continuation re-filters/projects the design with the NEW
         # beta before the next solve (main.cc:92-98 ordering)
@@ -79,7 +84,7 @@ class FusedDriver:
                 sol = self.restart_mgr.load_state(cfg.restartFileVecSol)
                 if sol is not None:
                     self.state = self.state._replace(
-                        u=jnp.asarray(sol, dt)
+                        u=self._u_from_nodal(jnp.asarray(sol, dt))
                     )
                 print(
                     f"# Continue optimization from file: "
@@ -96,18 +101,21 @@ class FusedDriver:
     def _write_outputs(self, itr):
         cfg = self.cfg
         s = self.state
+        if self.dat is None and not cfg.output_cadence_vtu:
+            return
+        u = self._u_to_nodal(s.u)
         if self.dat is not None:
-            u = np.asarray(s.u)
+            un = np.asarray(u)
             self.dat.write_fields(
                 itr,
-                [u[..., 0], u[..., 1], u[..., 2]],
+                [un[..., 0], un[..., 1], un[..., 2]],
                 [np.asarray(s.x), np.asarray(s.xTilde),
                  np.asarray(s.xPhys)],
             )
         if cfg.output_cadence_vtu:
             path = os.path.join(cfg.workdir, f"output_{itr:05d}.vtu")
             write_state_vtu(
-                path, self.grid, s.u, s.x, s.xTilde, s.xPhys
+                path, self.grid, u, s.x, s.xTilde, s.xPhys
             )
 
     def _write_restart(self):
@@ -117,7 +125,7 @@ class FusedDriver:
             np.asarray(s.x), np.asarray(s.xPhys),
             np.asarray(s.xo1), np.asarray(s.xo2),
             np.asarray(s.U), np.asarray(s.L),
-            np.asarray(s.u),
+            np.asarray(self._u_to_nodal(s.u)),
         )
 
     # ------------------------------------------------------------- #

@@ -315,28 +315,62 @@ class LinearElasticity:
         auto rule, config.resolve_ksp_chunk; blocked path only)."""
         return self.cfg.resolve_ksp_chunk(self.cfg.ndof)
 
-    def _solve_state_chunked(self, xPhys, u0, chunk: int):
-        cfg = self.cfg
-        bs = self._bsolver
-        op0 = bs.op32
-        if not hasattr(self, "_chunk_pre"):
-            import functools
-
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def pre(xPhys, u0):
-                E = self.simp(xPhys.astype(self.dtype))
-                b = op0.cantilever_rhs()
-                x0 = op0.mask0(op0.to_blocked(u0))
-                return E, b, x0
-
-            self._chunk_pre = pre
-            self._chunk_post = jax.jit(
-                lambda xb: op0.from_blocked(xb, self.dtype)
+    def _ensure_chunk_jits(self):
+        """Per-stage programs for the host-chunked route.  Each runs as
+        its OWN program so no dead buffer is live at the solve's peak:
+        round 3's 512^3 RESOURCE_EXHAUSTED came from one program that
+        donated the nodal warm start into a different-layout blocked
+        output (unusable donation) while also building E and the RHS —
+        the dead (513,513,513,3) buffer is 1.6 GB against a ~1.3 GB
+        HBM margin."""
+        if hasattr(self, "_chunk_post"):
+            return
+        op0 = self._bsolver.op32
+        # nodal warm start -> masked blocked (the nodal buffer dies
+        # right here, before E/b/solver state exist)
+        self._chunk_x0_nodal = jax.jit(
+            lambda u: op0.mask0(op0.to_blocked(u))
+        )
+        # zero warm start built DIRECTLY in the kernel layout — no
+        # (nx,ny,nz,3) nodal field ever materializes
+        self._chunk_x0_zero = jax.jit(
+            lambda: jnp.zeros((3, op0.rows, op0.Lcp), jnp.float32)
+        )
+        # blocked warm start: same layout -> the donation ALIASES
+        self._chunk_x0_blocked = jax.jit(op0.mask0, donate_argnums=(0,))
+        self._chunk_Eb = jax.jit(
+            lambda xp: (
+                self.simp(xp.astype(self.dtype)),
+                op0.cantilever_rhs(),
             )
-        # *-unpack so this frame holds no refs to E/b/x0 — solve_chunked
-        # releases them once the initial residual is built (512^3 HBM)
-        res = bs.solve_chunked(
-            *self._chunk_pre(xPhys, u0),
+        )
+        self._chunk_post = jax.jit(
+            lambda xb: op0.from_blocked(xb, self.dtype)
+        )
+
+    def _chunk_warm_start(self, u0):
+        """Warm start for the chunked route, in the kernel layout.
+        Accepts None (zeros), a blocked (3, rows, Lcp) array (donated,
+        aliased), or a nodal (nx,ny,nz,3) field (converted in its own
+        program; the caller should drop its reference)."""
+        self._ensure_chunk_jits()
+        if u0 is None:
+            return self._chunk_x0_zero()
+        if u0.ndim == 3:
+            return self._chunk_x0_blocked(u0)
+        return self._chunk_x0_nodal(u0)
+
+    def _solve_state_chunked(self, xPhys, x0_blk, chunk: int):
+        """Host-chunked Krylov solve from a READY blocked warm start
+        (see _chunk_warm_start); returns the solution in the KERNEL
+        layout — callers convert via _chunk_post when they need the
+        nodal field."""
+        cfg = self.cfg
+        E, b = self._chunk_Eb(xPhys)
+        # solve_chunked releases E/b/x0 once the initial residual is
+        # built (512^3 HBM)
+        return self._bsolver.solve_chunked(
+            E, b, x0_blk,
             rtol=cfg.ksp_rtol,
             maxiter=cfg.ksp_maxit,
             chunk=chunk,
@@ -350,10 +384,16 @@ class LinearElasticity:
                 else None
             ),
         )
-        from topopt_in_petsc_tpu.solvers.cg import CGResult
 
-        return CGResult(
-            x=self._chunk_post(res.x), iters=res.iters, relres=res.relres
+    def solve_state_blocked(self, xPhys, u0_blk):
+        """Chunked state solve fully in the kernel layout: blocked warm
+        start in (donated, aliased — same layout), blocked solution out.
+        The production giga-dof entry (parallel/fused_step.py chunked
+        route): no nodal (nx,ny,nz,3) buffer exists anywhere in the
+        solve."""
+        x0 = self._chunk_warm_start(u0_blk)
+        return self._solve_state_chunked(
+            xPhys, x0, self._chunk_size() or 32
         )
 
     def solve_state(self, xPhys, u0=None):
@@ -363,12 +403,21 @@ class LinearElasticity:
         NOTE: the warm-start buffer `u0` is DONATED into the solution
         (one nodal vector of HBM saved); it must not be used after the
         call — keep `res.x` instead (the driver does)."""
-        if u0 is None:
-            u0 = jnp.zeros((*self.grid.nn, 3), dtype=self.dtype)
         if self._bsolver is not None and self.cfg.ksp_type != "fgmres":
             chunk = self._chunk_size()
             if chunk:
-                return self._solve_state_chunked(xPhys, u0, chunk)
+                x0 = self._chunk_warm_start(u0)
+                u0 = None  # nodal warm start is dead before the solve
+                res = self._solve_state_chunked(xPhys, x0, chunk)
+                from topopt_in_petsc_tpu.solvers.cg import CGResult
+
+                return CGResult(
+                    x=self._chunk_post(res.x),
+                    iters=res.iters,
+                    relres=res.relres,
+                )
+        if u0 is None:
+            u0 = jnp.zeros((*self.grid.nn, 3), dtype=self.dtype)
         return self._solve(xPhys, u0, self.RHS, self.mask_args())
 
     # -- objective / constraints / sensitivities ----------------------- #

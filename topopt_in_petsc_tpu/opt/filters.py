@@ -18,6 +18,7 @@ anything else = no filtering.
 from __future__ import annotations
 
 import math
+import sys
 from typing import Optional, Tuple
 
 import jax
@@ -89,9 +90,13 @@ class DesignFilter:
         if self.filterType in (0, 1):
             s = filter_stencil_halfwidth(cfg.rmin, grid.h, grid.nn)
             self.stencil_halfwidth = s
+            # stderr: bench.py's stdout contract is ONE json line, and
+            # this banner fires from inside make_fused_step (Filter.cc
+            # prints it too, but PETSc has no such stdout contract)
             print(
                 f"# Filter radius rmin = {cfg.rmin:f} results in a "
-                f"stencil of {s} elements"
+                f"stencil of {s} elements",
+                file=sys.stderr,
             )
             k = build_filter_kernel(cfg.rmin, grid.h, s)
             self.kernel = jnp.asarray(k, dtype=self.dtype)

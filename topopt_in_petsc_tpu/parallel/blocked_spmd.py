@@ -387,12 +387,16 @@ class BlockedSpmdMG:
         *,
         rtol,
         ksp_type: str = "fcg",
+        x0_blocked: bool = False,
     ):
         """setup + initial residual/preconditioner application.  Returns
         (carry_env, PCGState): `carry_env` is the setup() env (masks/
         weights are iota-built per program, so only {eb, dinvb, lmax,
         eb32} cross the boundary), both trees ready to unpeel.  b=None
-        uses the on-the-fly cantilever load."""
+        uses the on-the-fly cantilever load.  x0_blocked=True: the warm
+        start is already in the kernel layout (the chunked route keeps
+        the state field blocked end-to-end, so the donation into this
+        program aliases — no dead nodal buffer at the solve's peak)."""
         env = self.setup(scale_fine)
         op32 = self.op32
         A, M = self._outer_ops(env)
@@ -403,7 +407,7 @@ class BlockedSpmdMG:
         _, st = pcg(
             A,
             b_blk,
-            op32.to_blocked(x0),
+            x0 if x0_blocked else op32.to_blocked(x0),
             M,
             rtol=rtol,
             maxiter=0,

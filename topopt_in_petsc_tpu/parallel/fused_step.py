@@ -82,15 +82,25 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
     # closures become XLA constants, which breaks compilation at 256^3+,
     # and complex constants are UNIMPLEMENTED on this backend)
     def tail(s: OptState, iters, relres, filt_consts, *,
-             first_iter: bool, fresh_asymptotes: bool) -> OptState:
+             first_iter: bool, fresh_asymptotes: bool,
+             u_blocked: bool = False) -> OptState:
         """Everything after the state solve (objective, filter chain
         rule, MMA, design filter) from a state whose `u` is the FRESH
         solution.  Split out so the chunked route (the giga-dof sizes
         where one device program would hit the 1-2-minute execution
         kill) can run the solve as a host loop and this tail as its own
-        program."""
+        program.
+
+        With u_blocked=True, `s.u` holds the solution in the solver's
+        kernel layout; the nodal field needed by the u^T KE u quadratic
+        form exists only as a TRANSIENT inside this program (XLA frees
+        it after the quadform) — at 512^3 that keeps the dead 1.6 GB
+        (513,513,513,3) buffer out of the solve's peak HBM entirely."""
         Hs, fft_consts = filt_consts
-        u = s.u
+        if u_blocked:
+            u = physics._bsolver.op32.from_blocked(s.u, physics.dtype)
+        else:
+            u = s.u
         fx, gx, dfdx, dgdx = physics._objective_parts(
             s.xPhys.astype(physics.dtype), u
         )
@@ -119,7 +129,8 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
         )
         mnd = jnp.mean(4.0 * xPhys * (1.0 - xPhys))
         return OptState(
-            x=x_new, xTilde=xTilde, xPhys=xPhys, u=u,
+            x=x_new, xTilde=xTilde, xPhys=xPhys,
+            u=s.u if u_blocked else u,
             L=L, U=U, xo1=s.x, xo2=s.xo1,
             fscale=fscale, beta=s.beta, fx=fx, gx=gx, ch=ch,
             mnd=mnd,
@@ -134,8 +145,28 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
             first_iter=first_iter, fresh_asymptotes=fresh_asymptotes,
         )
 
+    # chunked route decision up front: when the solve must be
+    # host-stepped (the backend's ~1-2-minute execution kill at
+    # giga-dof sizes — models/elasticity._chunk_size), OptState.u holds
+    # the state field in the solver's KERNEL layout end-to-end and the
+    # init state never materializes a nodal (nx,ny,nz,3) buffer
+    # (1.6 GB dead weight at 513^3).
+    chunk = 0
+    if (mesh is None and physics._bsolver is not None
+            and cfg.ksp_type != "fgmres"):
+        chunk = physics._chunk_size()
+
     x0 = jnp.full(grid.ne, cfg.volfrac, dtype=dt)
-    u0 = jnp.zeros((*grid.nn, 3), dtype=dt)
+    if chunk > 0:
+        op0 = physics._bsolver.op32
+        u0 = jnp.zeros((3, op0.rows, op0.Lcp), jnp.float32)
+        u_to_nodal = jax.jit(
+            lambda ub: op0.from_blocked(ub, physics.dtype)
+        )
+        u_from_nodal = jax.jit(lambda u: op0.to_blocked(u))
+    else:
+        u0 = jnp.zeros((*grid.nn, 3), dtype=dt)
+        u_to_nodal = u_from_nodal = lambda u: u
     # pre-populated asymptotes (the fused step always runs the adaptive
     # k>2 branch; the Driver handles the first two iterations)
     span = cfg.Xmax - cfg.Xmin
@@ -211,11 +242,9 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
         # chunked route: when the solve must be host-stepped (the
         # backend's ~1-2-minute execution kill at giga-dof sizes —
         # models/elasticity._chunk_size), the iteration runs as
-        # solve_state (host-chunked Krylov, identical trajectory via
-        # PCGState) + the `tail` program; otherwise one fused program.
-        chunk = 0
-        if physics._bsolver is not None and cfg.ksp_type != "fgmres":
-            chunk = physics._chunk_size()
+        # solve_state_blocked (host-chunked Krylov, identical trajectory
+        # via PCGState, warm start AND solution in the kernel layout) +
+        # the `tail` program; otherwise one fused program.
         if chunk > 0:
             # donate the state: u passes through (input->output alias),
             # x->xo1 / xo1->xo2 alias, and the 7 element-field buffers
@@ -226,6 +255,7 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                     partial(
                         tail, first_iter=key[0],
                         fresh_asymptotes=key[1],
+                        u_blocked=True,
                     ),
                     donate_argnums=(0,),
                 )
@@ -253,7 +283,9 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
 
             def step_jit(s: OptState, itr: int = 3) -> OptState:
                 key = (itr == 1, itr <= 2)
-                res = physics.solve_state(s.xPhys, s.u)  # donates s.u
+                # s.u is blocked: the donation into the solve ALIASES
+                # (same layout) — no nodal field exists at solve peak
+                res = physics.solve_state_blocked(s.xPhys, s.u)
                 s = _dedupe(s._replace(u=res.x))
                 return inner[key](s, res.iters, res.relres, filt_consts)
 
@@ -263,6 +295,8 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                     "physics": physics,
                     "filt": filt,
                     "filt_consts": filt_consts,
+                    "u_to_nodal": u_to_nodal,
+                    "u_from_nodal": u_from_nodal,
                 }
                 return step_jit, init, aux
             return step_jit, init
@@ -286,6 +320,8 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
             "physics": physics,
             "filt": filt,
             "filt_consts": filt_consts,
+            "u_to_nodal": u_to_nodal,
+            "u_from_nodal": u_from_nodal,
         }
         return step_jit, init, aux
     return step_jit, init

@@ -76,7 +76,7 @@ class SpmdDriver:
                 sol = self.restart_mgr.load_state(cfg.restartFileVecSol)
                 if sol is not None:
                     self.state = self.state._replace(
-                        u=e.blocked_nodal(sol)
+                        u=e.u_from_nodal_blk(e.blocked_nodal(sol))
                     )
                 print(
                     f"# Continue optimization from file: "
@@ -114,6 +114,9 @@ class SpmdDriver:
     def _gather_nodal(self, blk, tag="u"):
         from topopt_in_petsc_tpu.parallel.podio import gather_blocked
 
+        # the chunked state carries u in the solver's kernel layout;
+        # convert per shard (identity on the other engines)
+        blk = self.engine.u_to_nodal_blk(blk)
         g = gather_blocked(blk, scratch_dir=self._scratch(), tag=tag)
         if g is None:
             return None

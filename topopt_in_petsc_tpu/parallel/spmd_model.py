@@ -207,6 +207,11 @@ class SpmdElasticity:
             )
         self.KE_fine = jnp.asarray(KEs[0], self.dtype)
 
+        # identity u-layout converters; the chunked fused step installs
+        # real kernel<->nodal shard_map programs (make_spmd_fused_step)
+        self.u_to_nodal_blk = lambda u: u
+        self.u_from_nodal_blk = lambda u: u
+
         self._solve_sm = self._build_solve()
 
     def _put_blk(self, arr):
@@ -236,6 +241,16 @@ class SpmdElasticity:
             np.zeros((mx, my, mz, nxl, nyl, nzl, 3),
                      np.float64 if self.cfg.dtype == "float64"
                      else np.float32)
+        )
+
+    def zeros_kernel_blk(self):
+        """Zero state field in the per-shard KERNEL layout (the chunked
+        route keeps u blocked end-to-end; models/elasticity uses the
+        same trick single-chip)."""
+        mx, my, mz = self.mesh_shape
+        op32 = self._bspmd.op32
+        return self._put_blk(
+            np.zeros((mx, my, mz, 3, op32.rows, op32.Lcp), np.float32)
         )
 
     def simp(self, x):
@@ -468,13 +483,20 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             env = jax.tree_util.tree_map(peel, env_blk)
 
             if external_solve:
+                # chunked route: the state field stays in the solver's
+                # KERNEL layout across iterations (u = xk pass-through);
+                # the nodal field the u^T KE u quadform needs is a
+                # TRANSIENT inside this program only — no dead nodal
+                # shard buffer at the solve's peak (round-3 512^3 OOM)
                 xk_blk, iters, relres = ext
-                u = engine._bspmd.op32.from_blocked(
-                    peel(xk_blk), engine.dtype
+                xk = peel(xk_blk)
+                u_nodal = engine._bspmd.op32.from_blocked(
+                    xk, engine.dtype
                 )
                 fx, gx, dfdx, dgdx = engine._objective_local(
-                    s_loc.xPhys, u
+                    s_loc.xPhys, u_nodal
                 )
+                u = xk
             else:
                 (u, iters, relres, fx, gx, dfdx, dgdx) = (
                     engine._physics_local(
@@ -627,12 +649,17 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             check_vma=False,
         )
         def _pre(xPhys_blk, u0_blk, rhs_blk, env_blk):
+            # u0_blk arrives in the KERNEL layout (the chunked state
+            # keeps u blocked end-to-end): the donation into this
+            # program aliases into PCGState.x — same layout, no dead
+            # nodal shard buffer at peak
             x = peel(xPhys_blk)
             u0 = peel(u0_blk)
             E = engine.simp(x.astype(dt))
             carry, st = bspmd.solve_init(
                 E, None, u0,
                 rtol=cfg.ksp_rtol, ksp_type=cfg.ksp_type,
+                x0_blocked=True,
             )
             carry = jax.tree_util.tree_map(_unpeel_leaf, carry)
             return carry, PCGState(*[_unpeel_leaf(v) for v in st])
@@ -652,12 +679,34 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             )
             return PCGState(*[_unpeel_leaf(v) for v in st])
 
-        # donate the warm-start u into the solve (one nodal vector of
-        # HBM freed for the chunk loop; the tail rebuilds u from the
-        # solver's kernel-layout solution)
+        # donate the warm-start u into the solve: same kernel layout as
+        # PCGState.x, so the donation ALIASES (no unusable-donation
+        # warning, no dead buffer at the solve's peak)
         _pre_jit = jax.jit(_pre, donate_argnums=(1,))
         _chunk_jit = jax.jit(_chunk_step, donate_argnums=(1,))
         mx_, my_, mz_ = engine.mesh_shape
+
+        # layout converters for the IO/restart boundaries (the chunked
+        # state carries u in the kernel layout; SpmdDriver gathers the
+        # nodal field only at output/checkpoint cadence)
+        @partial(
+            shard_map, mesh=mesh, in_specs=(BLK,), out_specs=BLK,
+            check_vma=False,
+        )
+        def _u_to_nodal_sm(ub_blk):
+            return unpeel(
+                bspmd.op32.from_blocked(peel(ub_blk), engine.dtype)
+            )
+
+        @partial(
+            shard_map, mesh=mesh, in_specs=(BLK,), out_specs=BLK,
+            check_vma=False,
+        )
+        def _u_from_nodal_sm(u_blk):
+            return unpeel(bspmd.op32.to_blocked(peel(u_blk)))
+
+        engine.u_to_nodal_blk = jax.jit(_u_to_nodal_sm)
+        engine.u_from_nodal_blk = jax.jit(_u_from_nodal_sm)
 
         def _dummy_u():
             # fresh each call: the tail DONATES the state, so a shared
@@ -789,7 +838,10 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         x=x0,
         xTilde=x0,
         xPhys=xPhys0,
-        u=engine.zeros_nodal_blk(),
+        # chunked route: the state field lives in the solver's kernel
+        # layout (no nodal shard buffer at the solve's peak)
+        u=(engine.zeros_kernel_blk() if chunked
+           else engine.zeros_nodal_blk()),
         L=engine.blocked_elem(x0g - 0.5 * span),
         U=engine.blocked_elem(x0g + 0.5 * span),
         xo1=x0,
