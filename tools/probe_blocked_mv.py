@@ -61,7 +61,7 @@ def main():
     s = float(op.asum(out))
     dt_s = (time.perf_counter() - t0) / reps
     ndof = 3 * n**3
-    nnz = 27 * 9 * ndof
+    nnz = 81 * ndof  # 243/node = 81 per scalar dof-row (27 couplings x 3x3)
     print(
         f"{n - 1}^3 {np.dtype(dt).name}: {dt_s * 1e3:.1f} ms/matvec, "
         f"{nnz / dt_s / 1e9:.0f} Gnnz/s (checksum {s:.3e})"

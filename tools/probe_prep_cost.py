@@ -70,7 +70,7 @@ def main(ne=256):
     t_kern_unpack = timeit(run_j, ub, eb)
 
     ndof = 3 * grid.nnode
-    nnz = 27 * 9 * ndof
+    nnz = 81 * ndof  # 243/node = 81 per scalar dof-row (27 couplings x 3x3)
     print(f"grid {ne}^3  ndof={ndof:,}")
     print(f"apply (prep+kern+unpack): {t_apply*1e3:8.3f} ms  "
           f"({nnz/t_apply/1e9:.0f} Gnnz/s)")
