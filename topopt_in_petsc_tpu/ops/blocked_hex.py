@@ -91,7 +91,10 @@ def _kernel(u_hbm, e_hbm, out_ref, *scratch, Lp: int, ZPc: int,
         dmas = []
         for c in range(dof):
             d = pltpu.make_async_copy(
-                u_hbm.at[c, pl.ds(row0, TX + 16)],
+                # np.int32(c): a bare Python int is traced as i64 under
+                # x64 (the CLI enables it for f64 MMA parity) and
+                # Mosaic rejects i64 memref-slice indices
+                u_hbm.at[np.int32(c), pl.ds(row0, TX + 16)],
                 ubufs[c],
                 sems.at[np.int32(c)],
             )
