@@ -191,6 +191,45 @@ def test_blocked_solve_bf16_vcycle():
     )
 
 
+def test_blocked_solve_mixed_vcycle():
+    """mg_dtype="mixed": f32 fine-level smoothing, bf16 coarse levels.
+    Fine level must be the SAME op as the outer Krylov's (no duplicate
+    f32 kernel, no bf16 fine coefficient copy), coarse levels bf16; the
+    solve still reaches the f32 tolerance."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    cfg = TopOptConfig(
+        nx=9, ny=5, nz=5, nlvls=2, dtype="float32",
+        operator_impl="xla", ksp_rtol=1e-6, ksp_maxit=200,
+    )
+    cfg.validate()
+    phys = LinearElasticity(cfg)
+    grids = phys.grid.hierarchy(cfg.nlvls)
+    KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+    bmg = BlockedElasticityMG(
+        grids, KEs, mg_dtype="mixed", interpret=True,
+    )
+    assert bmg.op32 is bmg.ops[0]  # fine level IS the f32 outer kernel
+    assert bmg.ops[0].vdt == jnp.float32
+    assert bmg.ops[1].vdt == jnp.bfloat16
+    assert bmg.krylov_compress == jnp.bfloat16  # memory lever stays on
+    op0 = bmg.op32
+    x = jnp.full(phys.grid.ne, 0.5, jnp.float32)
+    ref = phys.solve_state(x)
+    b = op0.mask0(op0.to_blocked(phys.RHS))
+    res = bmg.solve(
+        phys.simp(x), b, jnp.zeros_like(b), rtol=1e-6, maxiter=200,
+    )
+    assert res.x.dtype == jnp.float32
+    assert float(res.relres) < 1e-6
+    u = op0.from_blocked(res.x)
+    np.testing.assert_allclose(
+        np.asarray(u), np.asarray(ref.x),
+        rtol=1e-2, atol=1e-3 * float(jnp.max(jnp.abs(ref.x))),
+    )
+
+
 def test_chunked_solve_identical_to_single_program():
     """solve_chunked carries the full Krylov state across jit calls:
     the trajectory must be IDENTICAL (not just convergent) to solve().

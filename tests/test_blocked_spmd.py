@@ -304,6 +304,47 @@ def test_spmd_mg_dtype_bf16_converges():
     )
 
 
+def test_spmd_mg_dtype_mixed_converges():
+    """-mg_dtype mixed on the SPMD engine: f32 fine level (shared with
+    the outer Krylov), bf16 coarse levels — converges to the f32
+    solution (VERDICT r3 #7)."""
+    from topopt_in_petsc_tpu.parallel.spmd_model import SpmdElasticity
+
+    common = dict(
+        nx=NN[0], ny=NN[1], nz=NN[2], nlvls=2, dtype="float32",
+        rmin=0.16, mesh_shape=MESH_SHAPE, operator_impl="blocked",
+        ksp_rtol=1e-5,
+    )
+    rng = np.random.default_rng(21)
+    x = rng.uniform(0.3, 0.9, size=(NN[0] - 1, NN[1] - 1, NN[2] - 1))
+
+    cfg1 = TopOptConfig(**common)
+    cfg1.validate()
+    e1 = SpmdElasticity(cfg1)
+    ref = e1.compute_objective_constraints_sensitivities(
+        e1.blocked_elem(x), e1.zeros_nodal_blk()
+    )
+
+    cfg2 = TopOptConfig(mg_dtype="mixed", **common)
+    cfg2.validate()
+    e2 = SpmdElasticity(cfg2)
+    assert e2._bspmd.op32 is e2._bspmd.ops[0]  # fine level shared, f32
+    assert e2._bspmd.ops[1].vdt == jnp.bfloat16
+    assert e2._bspmd.krylov_compress == jnp.bfloat16
+    got = e2.compute_objective_constraints_sensitivities(
+        e2.blocked_elem(x), e2.zeros_nodal_blk()
+    )
+
+    assert float(got[2]) < cfg2.ksp_rtol  # converged (relres)
+    assert float(got[3]) == pytest.approx(float(ref[3]), rel=1e-3)  # fx
+    u_ref = e1.decomp.from_blocked_nodal(np.asarray(ref[0]))
+    u_got = e2.decomp.from_blocked_nodal(np.asarray(got[0]))
+    scale = np.max(np.abs(u_ref))
+    np.testing.assert_allclose(
+        u_got, u_ref, rtol=1e-2, atol=1e-3 * scale
+    )
+
+
 @pytest.mark.slow
 def test_blocked_spmd_solve_matches_single_device():
     """Full resident-blocked SPMD MG-PCG == single-device solve."""

@@ -34,8 +34,10 @@ def main():
     nlvls = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     maxit = int(sys.argv[4]) if len(sys.argv) > 4 else 200
     mode = sys.argv[5] if len(sys.argv) > 5 else "f32"
-    mgdt = jnp.bfloat16 if mode == "bf16" else None
-    kc = jnp.bfloat16 if mode in ("bf16", "f32c") else None
+    # "mixed": f32 fine-level smoothing + bf16 coarse levels (the
+    # bf16-iteration-doubling experiment, docs/PERFORMANCE.md)
+    mgdt = {"bf16": jnp.bfloat16, "mixed": "mixed"}.get(mode)
+    kc = jnp.bfloat16 if mode in ("bf16", "f32c", "mixed") else None
     n = int(sys.argv[6]) if len(sys.argv) > 6 else 513
     grid = Grid(nn=(n, n, n), lo=(0, 0, 0), hi=(2, 1, 1))
     grids = grid.hierarchy(nlvls)

@@ -109,7 +109,9 @@ class TopOptConfig:
     # fine-level K@u: "auto" (Pallas kernel on TPU, XLA elsewhere),
     # "xla", or "pallas"
     operator_impl: str = "auto"
-    mg_dtype: str = "same"  # V-cycle precision: "same" | "bfloat16"
+    # V-cycle precision: "same" | "bfloat16" | "mixed" (f32 fine level,
+    # bf16 coarse levels)
+    mg_dtype: str = "same"
     # (pallas: fused VMEM kernel, experimental on this environment's
     # remote Mosaic compiler — see ops/pallas_hex.py)
     precise_dots: bool = True  # upcast CG/objective reductions to f64
@@ -159,13 +161,19 @@ class TopOptConfig:
         return 32 if ndof >= 1e8 else 0
 
     def resolve_mg_bf16(self, ndof: int) -> bool:
-        """bf16 V-cycle storage: explicit -mg_dtype bfloat16, or auto
-        at >= 3.5e8 (local) dof where the f32 V-cycle exceeds one
-        chip's HBM (compile-checked at 512^3: f32 needs 16.2 GB >
-        15.75 GB; bf16 fits at 14.5 GB)."""
-        return self.mg_dtype == "bfloat16" or (
-            self.mg_dtype == "same" and ndof >= 3.5e8
-        )
+        """True when the resolved V-cycle storage is not pure f32."""
+        return self.resolve_mg_mode(ndof) != "same"
+
+    def resolve_mg_mode(self, ndof: int) -> str:
+        """Resolved V-cycle storage mode: "same" (f32), "bfloat16"
+        (every level bf16), or "mixed" (f32 fine level, bf16 coarse
+        levels).  Auto at >= 3.5e8 (local) dof the f32 V-cycle exceeds
+        one chip's HBM (compile-checked at 512^3: f32 needs 16.2 GB >
+        15.75 GB; bf16 fits at 14.5 GB) — the auto pick is "bfloat16",
+        the proven-fit flagship recipe."""
+        if self.mg_dtype != "same":
+            return self.mg_dtype
+        return "bfloat16" if ndof >= 3.5e8 else "same"
 
     @property
     def dx(self) -> float:

@@ -145,11 +145,11 @@ class LinearElasticity:
                 # Auto-engaged at giga-dof sizes (the shared rule,
                 # config.resolve_mg_bf16; measured: 512^3 solves in
                 # 105 iterations under bf16 storage).
-                mg_dtype=(
-                    jnp.bfloat16
-                    if cfg.resolve_mg_bf16(cfg.ndof)
-                    else None
-                ),
+                mg_dtype={
+                    "same": None,
+                    "bfloat16": jnp.bfloat16,
+                    "mixed": "mixed",
+                }[cfg.resolve_mg_mode(cfg.ndof)],
                 interpret=not on_tpu,
             )
             if on_tpu:
@@ -220,6 +220,8 @@ class LinearElasticity:
             coarse_maxit=cfg.coarse_maxit,
             precise_dots=cfg.precise_dots,
             coarse_op=cfg.coarse_op,
+            # "mixed" is a blocked-solver mode (per-level dtypes); the
+            # nodal fallback runs its V-cycle f32 in that case
             precond_dtype=(
                 jnp.bfloat16 if cfg.mg_dtype == "bfloat16" else None
             ),

@@ -109,16 +109,24 @@ class BlockedSpmdMG:
         # mg_dtype: storage dtype of the V-cycle (preconditioner only);
         # bf16 halves the smoother's HBM traffic and live set — the
         # 512^3-class lever, per LOCAL shard (solvers/blocked_mg.py has
-        # the single-chip rationale).  Outer Krylov always runs f32.
-        self.mg_dtype = mg_dtype or jnp.float32
+        # the single-chip rationale, including the "mixed" mode: f32
+        # fine level, bf16 coarse levels).  Outer Krylov always runs
+        # f32.
+        if mg_dtype == "mixed":
+            self.level_dtypes = [jnp.float32] + [jnp.bfloat16] * (
+                self.nlvls - 1
+            )
+        else:
+            self.level_dtypes = [mg_dtype or jnp.float32] * self.nlvls
+        self.mg_dtype = self.level_dtypes[0]
         self.ops: List[BlockedHexOperator] = [
             BlockedHexOperator(
                 decomp.local_nn(l), np.asarray(KEs[l]), dof=dof,
-                dtype=self.mg_dtype, interpret=interpret,
+                dtype=self.level_dtypes[l], interpret=interpret,
             )
             for l in range(self.nlvls)
         ]
-        if self.mg_dtype == jnp.float32:
+        if self.level_dtypes[0] == jnp.float32:
             self.op32 = self.ops[0]
         else:  # separate f32 fine-level kernel for the outer Krylov
             self.op32 = BlockedHexOperator(
@@ -127,7 +135,9 @@ class BlockedSpmdMG:
             )
         if krylov_compress == "auto":
             krylov_compress = (
-                jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
+                jnp.bfloat16
+                if any(d != jnp.float32 for d in self.level_dtypes)
+                else None
             )
         self.krylov_compress = krylov_compress
         self.smooth_sweeps = smooth_sweeps
@@ -287,10 +297,10 @@ class BlockedSpmdMG:
         # ride the existing halo-aware SPMD transfer operators)
         opc = self.ops[level + 1]
         rc = restrict_spmd(op.from_blocked(r), self.mesh_shape)
-        rcb = self.maskb(opc, self.mg_dtype) * opc.to_blocked(rc)
+        rcb = self.maskb(opc, opc.vdt) * opc.to_blocked(rc)
         ecb = self.vcycle(env, rcb, level + 1)
         e = prolong_spmd(opc.from_blocked(ecb))
-        x = x + self.maskb(op, self.mg_dtype) * op.to_blocked(e)
+        x = x + self.maskb(op, op.vdt) * op.to_blocked(e)
         x = smooth(b, x)
         return x
 

@@ -125,11 +125,11 @@ class SpmdElasticity:
                 coarse_rtol=cfg.coarse_rtol,
                 coarse_maxit=cfg.coarse_maxit,
                 precise_dots=cfg.precise_dots,
-                mg_dtype=(
-                    jnp.bfloat16
-                    if cfg.resolve_mg_bf16(local_ndof)
-                    else None
-                ),
+                mg_dtype={
+                    "same": None,
+                    "bfloat16": jnp.bfloat16,
+                    "mixed": "mixed",
+                }[cfg.resolve_mg_mode(local_ndof)],
                 interpret=not on_tpu,
             )
             if on_tpu:

@@ -69,15 +69,27 @@ class BlockedElasticityMG:
         # bf16 halves both the smoother's HBM traffic and the live-set
         # footprint — the lever that fits 512^3 (405M dof) on one chip;
         # the outer Krylov always runs f32 (true residual accuracy).
-        self.mg_dtype = mg_dtype or jnp.float32
+        # "mixed": f32 fine-level smoothing, bf16 on every coarse level
+        # — the fine smoother sets MG convergence quality (bf16 storage
+        # there costs ~2x outer iterations at high SIMP contrast) while
+        # the coarse levels hold <1/7 of the hierarchy's values, so
+        # their bf16 rounding is nearly free.
+        if mg_dtype == "mixed":
+            self.level_dtypes = [jnp.float32] + [jnp.bfloat16] * (
+                self.nlvls - 1
+            )
+        else:
+            self.level_dtypes = [mg_dtype or jnp.float32] * self.nlvls
+        self.mg_dtype = self.level_dtypes[0]
         self.ops: List[BlockedHexOperator] = [
             BlockedHexOperator(
-                g.nn, np.asarray(KEs[l]), dof=3, dtype=self.mg_dtype,
+                g.nn, np.asarray(KEs[l]), dof=3,
+                dtype=self.level_dtypes[l],
                 interpret=interpret, **kw,
             )
             for l, g in enumerate(self.grids)
         ]
-        if self.mg_dtype == jnp.float32:
+        if self.level_dtypes[0] == jnp.float32:
             self.op32 = self.ops[0]
         else:  # separate f32 fine-level kernel for the outer Krylov
             self.op32 = BlockedHexOperator(
@@ -90,7 +102,9 @@ class BlockedElasticityMG:
         # f32 V-cycle can still shed ~2 full vectors at 512^3.
         if krylov_compress == "auto":
             krylov_compress = (
-                jnp.bfloat16 if self.mg_dtype != jnp.float32 else None
+                jnp.bfloat16
+                if any(d != jnp.float32 for d in self.level_dtypes)
+                else None
             )
         self.krylov_compress = krylov_compress
         self.smooth_sweeps = smooth_sweeps
