@@ -109,7 +109,10 @@ class DesignFilter:
                 self._fft_conv = None
                 self._fft_consts = None
             ones = jnp.ones(grid.ne, dtype=self.dtype)
-            self.Hs = jax.jit(self._conv)(ones)
+            # spectra travel as ARGUMENTS: closed-over constants above
+            # ~100 MB (the 384^3+ FFT spectrum) are rejected by the
+            # remote compile service with HTTP 413
+            self.Hs = jax.jit(self._conv)(ones, self._fft_consts)
         elif self.filterType == 2:
             from topopt_in_petsc_tpu.opt.pde_filter import PDEFilter
 
