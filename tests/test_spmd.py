@@ -243,3 +243,40 @@ def test_spmd_pallas_fine_apply_matches():
     np.testing.assert_allclose(
         float(res[3]), float(ref[3]), rtol=5e-4
     )  # fx
+
+
+def test_spmd_fft_filter_matches_single_device():
+    """FFT filter backend on the SPMD engine (rmin big enough that
+    (2s+1)^3 > FFT_TAP_THRESHOLD): the spectra travel as jit ARGUMENTS
+    on both engines (closed-over constants above ~100 MB are rejected
+    by the remote compile service with HTTP 413 — the round-4 384^3
+    blocker), and the fused trajectories must agree."""
+    from topopt_in_petsc_tpu.opt.filters import filter_stencil_halfwidth
+    from topopt_in_petsc_tpu.ops.conv_filter import FFT_TAP_THRESHOLD
+    from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
+
+    common = dict(
+        nx=17, ny=9, nz=9, nlvls=2, dtype="float32", rmin=0.6,
+        ksp_rtol=1e-6,
+    )
+    cfg = TopOptConfig(mesh_shape=MESH_SHAPE, **common)
+    cfg.validate()
+    grid_h = (2.0 / 16, 1.0 / 8, 1.0 / 8)
+    s = filter_stencil_halfwidth(cfg.rmin, grid_h, (17, 9, 9))
+    assert (2 * s + 1) ** 3 > FFT_TAP_THRESHOLD  # FFT path engaged
+
+    step, state, engine = make_spmd_fused_step(cfg)
+    for itr in (1, 2):
+        state = step(state, itr)
+
+    cfg1 = TopOptConfig(**common)
+    cfg1.validate()
+    step1, state1 = make_fused_step(cfg1)
+    for itr in (1, 2):
+        state1 = step1(state1, itr)
+
+    assert float(state.fx) == pytest.approx(float(state1.fx), rel=1e-4)
+    xs = engine.decomp.from_blocked_elem(np.asarray(state.xPhys))
+    np.testing.assert_allclose(
+        xs, np.asarray(state1.xPhys), atol=5e-5
+    )

@@ -53,15 +53,23 @@ def make_fft_conv(
     s = (kernel.shape[0] - 1) // 2
     pad = 2 * s - 2 * crop_offset  # extra room for linear conv
     full = tuple(shape[a] + max(pad, 0) for a in range(3))
-    k = np.zeros(full, np.float64)
-    k[: 2 * s + 1, : 2 * s + 1, : 2 * s + 1] = kernel
-    # kernel centered at s: circular shift so center lands at origin
-    k = np.roll(k, (-s, -s, -s), axis=(0, 1, 2))
-    KF = np.fft.rfftn(k)
-
     f64 = dtype == jnp.float64
     real_dt = jnp.float64 if f64 else jnp.float32
     np_real = np.float64 if f64 else np.float32
+    # host FFT in the TARGET precision (the spectrum is cast to it
+    # anyway): at 512^3 the f64 transform of the (592)^3 zero-padded
+    # kernel took ~20 host-minutes single-threaded; f32 + pocketfft
+    # workers cuts giga-dof filter setup to a fraction of that
+    k = np.zeros(full, np_real)
+    k[: 2 * s + 1, : 2 * s + 1, : 2 * s + 1] = kernel
+    # kernel centered at s: circular shift so center lands at origin
+    k = np.roll(k, (-s, -s, -s), axis=(0, 1, 2))
+    try:
+        from scipy import fft as _sfft
+
+        KF = _sfft.rfftn(k, workers=-1)
+    except ImportError:  # pragma: no cover
+        KF = np.fft.rfftn(k)
     # the spectrum travels as TWO REAL arrays: complex constants embedded
     # in compiled programs are UNIMPLEMENTED on this TPU backend (and
     # large closures should be arguments anyway); callers thread `consts`

@@ -406,10 +406,14 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
                 ghosted_shape, kernel_np, dt, crop_offset=s
             )
 
-        def conv_local(x):
+        def conv_local(x, fc):
+            # fc: the FFT spectrum pair, threaded through the jit
+            # boundary as ARGUMENTS — closed-over constants above
+            # ~100 MB (the 384^3+ local spectra) are rejected by the
+            # remote compile service with HTTP 413
             g = ghost_fill_elem(x, s, mesh_shape)
             if fft_conv_valid is not None:
-                return fft_conv_valid(g)
+                return fft_conv_valid(g, fc)
             out = lax.conv_general_dilated(
                 g[None, None], kernel[None, None], (1, 1, 1), "VALID",
                 dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
@@ -443,6 +447,14 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     env_spec = _spec_like(engine.env_blk, BLK)
     pde_env_blk = pdef.env_blk if pdef is not None else {}
     pde_env_spec = _spec_like(pde_env_blk, BLK)
+    # FFT filter spectra ride the jit boundary as a replicated-arg
+    # pytree (empty when the direct conv / PDE filter is in use)
+    fconsts = (
+        fft_conv_valid.consts
+        if (conv_local is not None and fft_conv_valid is not None)
+        else ()
+    )
+    fconsts_spec = jax.tree_util.tree_map(lambda _: REP, fconsts)
     state_spec = SpmdOptState(
         x=BLK, xTilde=BLK, xPhys=BLK, u=BLK, L=BLK, U=BLK, xo1=BLK,
         xo2=BLK, fscale=REP, beta=REP, fx=REP, gx=REP, ch=REP, mnd=REP,
@@ -458,11 +470,12 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         # Krylov, see `step_chunked` below); this program receives the
         # solution in the op32 kernel layout + iters/relres and runs
         # only the objective/filter/MMA tail of the iteration.
-        in_specs = (state_spec, BLK, env_spec, pde_env_spec)
+        in_specs = (state_spec, BLK, env_spec, pde_env_spec,
+                    fconsts_spec)
         if external_solve:
             in_specs = in_specs + (BLK, REP, REP)
 
-        donate = (0, 4) if external_solve else ()
+        donate = (0, 5) if external_solve else ()
 
         @partial(
             shard_map,
@@ -472,7 +485,12 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             check_vma=False,
         )
         def step(state: SpmdOptState, rhs_blk, env_blk, pde_env_blk,
-                 *ext):
+                 fc, *ext):
+            conv = (
+                (lambda v: conv_local(v, fc))
+                if conv_local is not None
+                else None
+            )
             s_loc = SpmdOptState(
                 *[
                     peel(v) if spec is BLK else v
@@ -520,7 +538,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
                     return xt, unew
 
             Hs = (
-                conv_local(jnp.ones_like(s_loc.x))
+                conv(jnp.ones_like(s_loc.x))
                 if conv_local is not None
                 else None
             )
@@ -532,11 +550,11 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
                 dgdx = dgdx * dproj[None]
             if cfg.filter == 0:
                 # sensitivity filter (Filter.cc:167-177)
-                dfdx = conv_local(dfdx * s_loc.x) / Hs / s_loc.x
+                dfdx = conv(dfdx * s_loc.x) / Hs / s_loc.x
             elif cfg.filter == 1:
-                dfdx = conv_local(dfdx / Hs)
+                dfdx = conv(dfdx / Hs)
                 dgdx = jnp.stack(
-                    [conv_local(dgdx[j] / Hs) for j in range(cfg.m)]
+                    [conv(dgdx[j] / Hs) for j in range(cfg.m)]
                 )
             elif cfg.filter == 2:
                 # PDE filter is self-adjoint: gradients are filtered by
@@ -562,7 +580,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             )
             ch = pmax_scalar(jnp.max(jnp.abs(x_new - s_loc.x)))
             if cfg.filter == 1:
-                xTilde = conv_local(x_new) / Hs
+                xTilde = conv(x_new) / Hs
             elif cfg.filter == 2:
                 xt_raw, u_pde = pde_apply(x_new, u_pde)
                 # bound-violation clip (Filter.cc:76-101); the max
@@ -735,16 +753,16 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(BLK, REP, BLK, pde_env_spec),
+        in_specs=(BLK, REP, BLK, pde_env_spec, fconsts_spec),
         out_specs=(BLK, BLK, BLK),
         check_vma=False,
     )
-    def _filter_project(x_blk, beta, u_pde_blk, pde_env_blk):
+    def _filter_project(x_blk, beta, u_pde_blk, pde_env_blk, fc):
         x = peel(x_blk)
         u_pde = peel(u_pde_blk)
         if cfg.filter == 1:
-            Hs = conv_local(jnp.ones_like(x))
-            xTilde = conv_local(x) / Hs
+            Hs = conv_local(jnp.ones_like(x), fc)
+            xTilde = conv_local(x, fc) / Hs
         elif cfg.filter == 2:
             pde_env = jax.tree_util.tree_map(peel, pde_env_blk)
             pde_env = pdef._setup_local(pde_env, x.shape)
@@ -764,7 +782,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
 
     def filter_project_blk(x_blk, beta, u_pde_blk):
         return _filter_project_jit(
-            x_blk, beta, u_pde_blk, pde_env_blk
+            x_blk, beta, u_pde_blk, pde_env_blk, fconsts
         )
 
     engine.filter_project_blk = filter_project_blk
@@ -805,7 +823,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             )
             return fn(
                 st, engine.rhs_blk, engine.env_blk, pde_env_blk,
-                pst.x, pst.k, relres,
+                fconsts, pst.x, pst.k, relres,
             )
 
     else:
@@ -813,7 +831,10 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         def step_jit(st: SpmdOptState, itr: int = 3):
             key = (itr == 1, itr <= 2)
             fn = _steps[key if key in _steps else (False, False)]
-            return fn(st, engine.rhs_blk, engine.env_blk, pde_env_blk)
+            return fn(
+                st, engine.rhs_blk, engine.env_blk, pde_env_blk,
+                fconsts,
+            )
 
     # initial state
     np_dt = np.float64 if cfg.dtype == "float64" else np.float32
