@@ -213,6 +213,11 @@ class TopOptConfig:
             raise ValueError(
                 f"-ksp_type must be 'fcg' or 'fgmres', got {self.ksp_type}"
             )
+        if self.mg_dtype not in ("same", "bfloat16", "mixed"):
+            raise ValueError(
+                f"-mg_dtype must be 'same', 'bfloat16' or 'mixed', "
+                f"got {self.mg_dtype}"
+            )
 
     # ----------------------------------------------------------------- #
     # CLI (PETSc options style: single-dash long flags; TopOpt.cc:154-165)
