@@ -24,10 +24,14 @@ from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step  # noqa: E40
 
 
 def _sync(o):
-    # scalar INDEX, not reshape(-1)[0]: reshaping a minor-dim-3 tiled
-    # array to 1-D lane-pads 3->128 (a 65 GiB relayout at 513^3)
+    # sync on a REPLICATED SCALAR leaf (fx): reading any output forces
+    # the step program to finish, and scalar readback avoids both the
+    # reshape(-1) lane-pad relayout (65 GiB at 513^3) and the
+    # dynamic_slice INVALID_ARGUMENT the backend raises when slicing
+    # giant element fields (probed at 384^3)
     a = jnp.asarray(jax.tree_util.tree_leaves(o)[0])
-    return float(a[(0,) * a.ndim])
+    assert a.ndim == 0, "sync target must be a scalar leaf"
+    return float(a)
 
 
 def main():
@@ -49,18 +53,18 @@ def main():
           flush=True)
     t0 = time.perf_counter()
     s = step(state, 1)
-    _sync(s.x)
+    _sync(s.fx)
     print(f"iter 1 (incl compile): {time.perf_counter() - t0:.1f} s "
           f"(solver_iters={int(s.solver_iters)})", flush=True)
     for itr in (2, 3):
         t0 = time.perf_counter()
         s = step(s, itr)
-        _sync(s.x)
+        _sync(s.fx)
         print(f"iter {itr}: {time.perf_counter() - t0:.1f} s "
               f"(solver_iters={int(s.solver_iters)})", flush=True)
     t0 = time.perf_counter()
     s = step(s, 4)
-    _sync(s.x)
+    _sync(s.fx)
     dt = time.perf_counter() - t0
     print(
         f"fused opt-iter {ne}^3 nlvls={nlvls}: {dt:.3f} s/iteration "

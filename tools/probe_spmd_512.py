@@ -53,13 +53,13 @@ def main():
           f"engine=blocked-SPMD (1,1,1)", flush=True)
     t0 = time.perf_counter()
     s = step(state, 1)
-    _sync(s.x)
+    _sync(s.fx)
     print(f"iter 1 (incl compile): {time.perf_counter() - t0:.1f} s "
           f"(solver_iters={int(s.solver_iters)})", flush=True)
     for itr in (2, 3, 4):
         t0 = time.perf_counter()
         s = step(s, itr)
-        _sync(s.x)
+        _sync(s.fx)
         print(f"iter {itr}: {time.perf_counter() - t0:.1f} s "
               f"(solver_iters={int(s.solver_iters)}, "
               f"fx={float(s.fx):.4f})", flush=True)
