@@ -250,7 +250,8 @@ class TestFFTConvBackend:
         k = build_filter_kernel(R, h, s)
         x = jnp.asarray(rng.uniform(size=shape))
         direct = conv3d_direct(x, jnp.asarray(k))
-        fft = make_fft_conv(shape, k, jnp.float64)(x)
+        conv = make_fft_conv(shape, k, jnp.float64)
+        fft = conv(x, conv.consts)
         np.testing.assert_allclose(
             np.asarray(fft), np.asarray(direct), rtol=1e-10, atol=1e-12
         )
@@ -270,10 +271,11 @@ class TestFFTConvBackend:
         x = rng.uniform(size=inner)
         xpad = np.pad(x, s)  # ghosted with zeros
         ref = conv3d_direct(jnp.asarray(x), jnp.asarray(k))  # SAME/zero
-        got = make_fft_conv(
+        conv = make_fft_conv(
             tuple(n + 2 * s for n in inner), k, jnp.float64,
             crop_offset=s,
-        )(jnp.asarray(xpad))
+        )
+        got = conv(jnp.asarray(xpad), conv.consts)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=1e-10, atol=1e-12
         )

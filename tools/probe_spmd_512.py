@@ -1,14 +1,20 @@
-"""SPMD-engine state-solve probe on ONE chip (mesh (1,1,1)).
+"""SPMD-engine STATE-SOLVE probe on ONE chip (mesh (1,1,1)).
 
-Measures the pod execution path (parallel/spmd_model.py: shard_map +
-blocked-resident solver + iota-predicate masks/RHS + host-chunked
-Krylov) at a given size on a single chip, where halo exchanges are
-no-ops — the overhead vs the single-chip solver (tools/probe_512.py)
-isolates the shard_map/engine cost, and a green 512^3 run proves the
-per-chip memory budget of the zero-storage SPMD engine (what each pod
-chip would hold for a 1024^3 run on 8 chips).
+Measures the pod execution path for the solve leg ONLY
+(parallel/spmd_model.SpmdChunkedSolve: shard_map + blocked-resident
+solver + iota-predicate masks/RHS + host-chunked Krylov) at a given
+size on a single chip, where halo exchanges are no-ops — mirroring
+tools/probe_512.py through the SPMD engine, so the delta isolates the
+shard_map/engine tax, and a green 512^3 run proves the per-chip memory
+budget of the zero-storage SPMD solve (what each pod chip holds during
+the state solve of a 1024^3 run on 8 chips).
+
+The round-4 version of this probe ran the FULL fused step, which
+cannot fit one chip at 512^3 regardless of engine overhead
+(docs/PERFORMANCE.md "fused-512 memory") — its OOM was uninformative.
 
 Usage: python tools/probe_spmd_512.py [nelem_axis] [nlvls] [mg_dtype]
+Reference: LinearElasticity.cc:204 (KSPSolve), SURVEY.md §2.2-5.
 """
 
 import sys
@@ -16,6 +22,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -23,7 +30,8 @@ sys.path.insert(0, "/root/repo")
 
 from topopt_in_petsc_tpu.config import TopOptConfig  # noqa: E402
 from topopt_in_petsc_tpu.parallel.spmd_model import (  # noqa: E402
-    make_spmd_fused_step,
+    SpmdElasticity,
+    make_spmd_chunked_solve,
 )
 
 
@@ -48,21 +56,47 @@ def main():
         mesh_shape=(1, 1, 1),
     )
     cfg.validate()
-    step, state, engine = make_spmd_fused_step(cfg)
-    print(f"ndof={cfg.ndof:,}, nlvls={nlvls}, mg_dtype={mg_dtype}, "
-          f"engine=blocked-SPMD (1,1,1)", flush=True)
+    engine = SpmdElasticity(cfg)
+    csolve = make_spmd_chunked_solve(engine)
+    print(
+        f"ndof={cfg.ndof:,}, nlvls={nlvls}, "
+        f"mg_dtype={cfg.resolve_mg_mode(cfg.ndof)} (cli: {mg_dtype}), "
+        f"ksp_chunk={csolve.chunk}, engine=blocked-SPMD (1,1,1), "
+        f"solve-only",
+        flush=True,
+    )
+    xPhys = engine.blocked_elem(
+        np.full(engine.grid.ne, 0.12, np.float32)
+    )
+
+    def run():
+        u0 = engine.zeros_kernel_blk()  # fresh: donated into the solve
+        pst, relres = csolve.solve(
+            xPhys, u0,
+            callback=lambda k, rr: print(
+                f"  k={k} relres={rr:.3e}", flush=True
+            ),
+        )
+        _sync(pst.x)
+        return pst, relres
+
     t0 = time.perf_counter()
-    s = step(state, 1)
-    _sync(s.fx)
-    print(f"iter 1 (incl compile): {time.perf_counter() - t0:.1f} s "
-          f"(solver_iters={int(s.solver_iters)})", flush=True)
-    for itr in (2, 3, 4):
-        t0 = time.perf_counter()
-        s = step(s, itr)
-        _sync(s.fx)
-        print(f"iter {itr}: {time.perf_counter() - t0:.1f} s "
-              f"(solver_iters={int(s.solver_iters)}, "
-              f"fx={float(s.fx):.4f})", flush=True)
+    pst, relres = run()
+    print(
+        f"first call (incl compile): {time.perf_counter() - t0:.1f} s "
+        f"(iters={int(pst.k)}, relres={relres:.2e})",
+        flush=True,
+    )
+    pst = None  # free the solution before the timed call
+    t0 = time.perf_counter()
+    pst, relres = run()
+    dt_s = time.perf_counter() - t0
+    ndof = cfg.ndof
+    print(
+        f"spmd-solve {ne}^3 nlvls={nlvls}: {dt_s:.3f} s, "
+        f"iters={int(pst.k)}, relres={relres:.2e}, ndof={ndof:,}, "
+        f"PCG {ndof * max(int(pst.k), 1) / dt_s / 1e6:.0f} Mdof*iter/s"
+    )
 
 
 if __name__ == "__main__":

@@ -18,6 +18,7 @@ Differences by design (idiomatic JAX/TPU, see SURVEY §7.1):
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import NamedTuple
 
@@ -198,6 +199,13 @@ class LinearElasticity:
                 if l > 0
             ]
 
+        if cfg.resolve_mg_mode(cfg.ndof) == "mixed":
+            print(
+                "warning: -mg_dtype mixed needs the blocked solver "
+                f"(operator_impl={impl}); running a pure-f32 V-cycle "
+                "instead — the memory lever is OFF on this path",
+                file=sys.stderr,
+            )
         N_np, RHS_np = build_cantilever_bc(self.grid)
         self.N = jnp.asarray(N_np, dtype=self.dtype)
         self.RHS = jnp.asarray(RHS_np, dtype=self.dtype)
@@ -223,7 +231,9 @@ class LinearElasticity:
             # "mixed" is a blocked-solver mode (per-level dtypes); the
             # nodal fallback runs its V-cycle f32 in that case
             precond_dtype=(
-                jnp.bfloat16 if cfg.mg_dtype == "bfloat16" else None
+                jnp.bfloat16
+                if cfg.resolve_mg_mode(cfg.ndof) == "bfloat16"
+                else None
             ),
             level_applies=level_applies,
         )

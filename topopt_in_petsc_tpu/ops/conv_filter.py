@@ -81,7 +81,10 @@ def make_fft_conv(
     o = crop_offset
     out_shape = tuple(shape[a] - 2 * o for a in range(3))
 
-    def conv(x: jax.Array, consts=consts) -> jax.Array:
+    def conv(x: jax.Array, consts) -> jax.Array:
+        # consts is REQUIRED (no default): defaulting to the captured
+        # spectrum would let a jitted call site silently re-embed the
+        # >100 MB arrays as XLA constants (HTTP-413 compile rejection)
         kf = jax.lax.complex(
             consts[0].astype(real_dt), consts[1].astype(real_dt)
         )

@@ -130,10 +130,16 @@ class DesignFilter:
 
     def _conv(self, x: jax.Array, fft_consts=None) -> jax.Array:
         if self._fft_conv is not None:
-            return self._fft_conv(
-                x.astype(self.dtype),
-                self._fft_consts if fft_consts is None else fft_consts,
-            )
+            if fft_consts is None:
+                # fail loudly at TRACE time: falling back to the
+                # captured spectrum would re-embed >100 MB as an XLA
+                # constant (HTTP-413) at any jitted call site that
+                # forgot to thread the consts through
+                raise ValueError(
+                    "FFT filter backend active but fft_consts was not "
+                    "passed through the jit boundary"
+                )
+            return self._fft_conv(x.astype(self.dtype), fft_consts)
         return conv3d_direct(x.astype(self.dtype), self.kernel)
 
     # -- FilterProject (Filter.cc:60-117) ------------------------------- #

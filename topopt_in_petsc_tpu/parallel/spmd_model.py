@@ -365,6 +365,146 @@ class SpmdOptState(NamedTuple):
     # apply (Filter.cc:82-97); 0 when filter != 2
 
 
+class SpmdChunkedSolve:
+    """Host-chunked SPMD state solve: the `-ksp_chunk` Krylov split
+    (solvers/cg.PCGState) driven through the blocked-resident shard_map
+    engine (parallel/blocked_spmd.py).  Built once and shared by
+    `make_spmd_fused_step` (whole-iteration path) and the standalone
+    `solve()` entry (the pod-engine state-solve probe,
+    tools/probe_spmd_512.py) so both measure the SAME programs.
+
+    Reference: the KSPSolve inside ComputeObjectiveConstraints-
+    Sensitivities (LinearElasticity.cc:204,363-445).
+    """
+
+    def __init__(self, engine: "SpmdElasticity"):
+        cfg = engine.cfg
+        mesh = engine.mesh
+        bspmd = engine._bspmd
+        dt = engine.dtype
+        env_spec = _spec_like(engine.env_blk, BLK)
+        from topopt_in_petsc_tpu.solvers.cg import PCGState
+
+        self.engine = engine
+        self.cfg = cfg
+        local_ndof = 3 * int(np.prod(engine.decomp.local_nn(0)))
+        # chunk 0 (small problems, chunking off) = one full-length
+        # chunk; the host loop below must always advance the cap
+        self.chunk = cfg.resolve_ksp_chunk(local_ndof) or cfg.ksp_maxit
+
+        # static structure of the carried solver env (solve_init strips
+        # to CARRY_KEYS; masks/weights are iota-built, never carried)
+        carry_spec = []
+        for l in range(cfg.nlvls):
+            d = {"eb": BLK, "dinvb": BLK, "lmax": REP}
+            if l == 0 and bspmd.op32 is not bspmd.ops[0]:
+                d["eb32"] = BLK
+            carry_spec.append(d)
+        pcg_spec = PCGState(
+            x=BLK, r=BLK, p=BLK, rz=REP, rnorm=REP, bnorm=REP, k=REP,
+        )
+
+        def _unpeel_leaf(v):
+            return v if v.ndim == 0 else unpeel(v)
+
+        def _peel_leaf(v):
+            return v if v.ndim == 0 else peel(v)
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(BLK, BLK, BLK, env_spec),
+            out_specs=(carry_spec, pcg_spec),
+            check_vma=False,
+        )
+        def _pre(xPhys_blk, u0_blk, rhs_blk, env_blk):
+            # u0_blk arrives in the KERNEL layout (the chunked state
+            # keeps u blocked end-to-end): the donation into this
+            # program aliases into PCGState.x — same layout, no dead
+            # nodal shard buffer at peak
+            x = peel(xPhys_blk)
+            u0 = peel(u0_blk)
+            E = engine.simp(x.astype(dt))
+            carry, st = bspmd.solve_init(
+                E, None, u0,
+                rtol=cfg.ksp_rtol, ksp_type=cfg.ksp_type,
+                x0_blocked=True,
+            )
+            carry = jax.tree_util.tree_map(_unpeel_leaf, carry)
+            return carry, PCGState(*[_unpeel_leaf(v) for v in st])
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(carry_spec, pcg_spec, REP),
+            out_specs=pcg_spec,
+            check_vma=False,
+        )
+        def _chunk_step(carry_blk, st_blk, cap):
+            carry = jax.tree_util.tree_map(_peel_leaf, carry_blk)
+            st = PCGState(*[_peel_leaf(v) for v in st_blk])
+            st = bspmd.solve_step(
+                carry, st, cap, cfg.ksp_rtol, ksp_type=cfg.ksp_type
+            )
+            return PCGState(*[_unpeel_leaf(v) for v in st])
+
+        # donate the warm-start u into the solve: same kernel layout as
+        # PCGState.x, so the donation ALIASES (no unusable-donation
+        # warning, no dead buffer at the solve's peak)
+        self.pre_jit = jax.jit(_pre, donate_argnums=(1,))
+        self.chunk_jit = jax.jit(_chunk_step, donate_argnums=(1,))
+
+        # layout converters for the IO/restart boundaries (the chunked
+        # state carries u in the kernel layout; SpmdDriver gathers the
+        # nodal field only at output/checkpoint cadence)
+        @partial(
+            shard_map, mesh=mesh, in_specs=(BLK,), out_specs=BLK,
+            check_vma=False,
+        )
+        def _u_to_nodal_sm(ub_blk):
+            return unpeel(
+                bspmd.op32.from_blocked(peel(ub_blk), engine.dtype)
+            )
+
+        @partial(
+            shard_map, mesh=mesh, in_specs=(BLK,), out_specs=BLK,
+            check_vma=False,
+        )
+        def _u_from_nodal_sm(u_blk):
+            return unpeel(bspmd.op32.to_blocked(peel(u_blk)))
+
+        engine.u_to_nodal_blk = jax.jit(_u_to_nodal_sm)
+        engine.u_from_nodal_blk = jax.jit(_u_from_nodal_sm)
+
+    def solve(self, xPhys_blk, u0_blk, callback=None):
+        """Standalone host-chunked state solve from a blocked design
+        field and a KERNEL-layout warm start (donated).  Returns the
+        final PCGState (x in kernel layout) and the relative residual —
+        the solve leg of the fused step, nothing else resident."""
+        cfg = self.cfg
+        engine = self.engine
+        carry, pst = self.pre_jit(
+            xPhys_blk, u0_blk, engine.rhs_blk, engine.env_blk
+        )
+        bnorm = float(pst.bnorm)
+        tol = max(cfg.ksp_rtol * bnorm, 1e-50)
+        while float(pst.rnorm) > tol and int(pst.k) < cfg.ksp_maxit:
+            cap = jnp.asarray(
+                min(int(pst.k) + self.chunk, cfg.ksp_maxit), jnp.int32
+            )
+            pst = self.chunk_jit(carry, pst, cap)
+            if callback is not None:
+                callback(
+                    int(pst.k), float(pst.rnorm) / max(bnorm, 1e-300)
+                )
+        relres = float(pst.rnorm) / max(bnorm, 1e-300)
+        return pst, relres
+
+
+def make_spmd_chunked_solve(engine: "SpmdElasticity") -> SpmdChunkedSolve:
+    return SpmdChunkedSolve(engine)
+
+
 def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     """One full optimization iteration as a single SPMD program.
 
@@ -628,6 +768,7 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     local_ndof = 3 * int(np.prod(engine.decomp.local_nn(0)))
     chunk = cfg.resolve_ksp_chunk(local_ndof)
     chunked = bspmd is not None and chunk > 0
+    csolve = make_spmd_chunked_solve(engine) if chunked else None
 
     # three compiled variants cover the reference's k<3 asymptote logic
     # (GenSub, MMA.cc:532-537) and the itr==1 objective scale; rhs/env
@@ -639,92 +780,9 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
     }
 
     if chunked:
-        from topopt_in_petsc_tpu.solvers.cg import PCGState
-
-        # static structure of the carried solver env (solve_init strips
-        # to CARRY_KEYS; masks/weights are iota-built, never carried)
-        carry_spec = []
-        for l in range(cfg.nlvls):
-            d = {"eb": BLK, "dinvb": BLK, "lmax": REP}
-            if l == 0 and bspmd.op32 is not bspmd.ops[0]:
-                d["eb32"] = BLK
-            carry_spec.append(d)
-        pcg_spec = PCGState(
-            x=BLK, r=BLK, p=BLK, rz=REP, rnorm=REP, bnorm=REP, k=REP,
-        )
-
-        def _unpeel_leaf(v):
-            return v if v.ndim == 0 else unpeel(v)
-
-        def _peel_leaf(v):
-            return v if v.ndim == 0 else peel(v)
-
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(BLK, BLK, BLK, env_spec),
-            out_specs=(carry_spec, pcg_spec),
-            check_vma=False,
-        )
-        def _pre(xPhys_blk, u0_blk, rhs_blk, env_blk):
-            # u0_blk arrives in the KERNEL layout (the chunked state
-            # keeps u blocked end-to-end): the donation into this
-            # program aliases into PCGState.x — same layout, no dead
-            # nodal shard buffer at peak
-            x = peel(xPhys_blk)
-            u0 = peel(u0_blk)
-            E = engine.simp(x.astype(dt))
-            carry, st = bspmd.solve_init(
-                E, None, u0,
-                rtol=cfg.ksp_rtol, ksp_type=cfg.ksp_type,
-                x0_blocked=True,
-            )
-            carry = jax.tree_util.tree_map(_unpeel_leaf, carry)
-            return carry, PCGState(*[_unpeel_leaf(v) for v in st])
-
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=(carry_spec, pcg_spec, REP),
-            out_specs=pcg_spec,
-            check_vma=False,
-        )
-        def _chunk_step(carry_blk, st_blk, cap):
-            carry = jax.tree_util.tree_map(_peel_leaf, carry_blk)
-            st = PCGState(*[_peel_leaf(v) for v in st_blk])
-            st = bspmd.solve_step(
-                carry, st, cap, cfg.ksp_rtol, ksp_type=cfg.ksp_type
-            )
-            return PCGState(*[_unpeel_leaf(v) for v in st])
-
-        # donate the warm-start u into the solve: same kernel layout as
-        # PCGState.x, so the donation ALIASES (no unusable-donation
-        # warning, no dead buffer at the solve's peak)
-        _pre_jit = jax.jit(_pre, donate_argnums=(1,))
-        _chunk_jit = jax.jit(_chunk_step, donate_argnums=(1,))
+        _pre_jit = csolve.pre_jit
+        _chunk_jit = csolve.chunk_jit
         mx_, my_, mz_ = engine.mesh_shape
-
-        # layout converters for the IO/restart boundaries (the chunked
-        # state carries u in the kernel layout; SpmdDriver gathers the
-        # nodal field only at output/checkpoint cadence)
-        @partial(
-            shard_map, mesh=mesh, in_specs=(BLK,), out_specs=BLK,
-            check_vma=False,
-        )
-        def _u_to_nodal_sm(ub_blk):
-            return unpeel(
-                bspmd.op32.from_blocked(peel(ub_blk), engine.dtype)
-            )
-
-        @partial(
-            shard_map, mesh=mesh, in_specs=(BLK,), out_specs=BLK,
-            check_vma=False,
-        )
-        def _u_from_nodal_sm(u_blk):
-            return unpeel(bspmd.op32.to_blocked(peel(u_blk)))
-
-        engine.u_to_nodal_blk = jax.jit(_u_to_nodal_sm)
-        engine.u_from_nodal_blk = jax.jit(_u_from_nodal_sm)
 
         def _dummy_u():
             # fresh each call: the tail DONATES the state, so a shared
