@@ -2,7 +2,14 @@
 # makefile_ref:15-27; here the "build" is the native IO codec and the
 # Python package).
 
-.PHONY: all test bench run native clean myclean
+.PHONY: all test bench run native clean myclean golden-gate
+
+# regression gate: compare a run's history.npz (WORKDIR=...) against
+# the committed golden trajectories; non-zero exit on breach
+WORKDIR ?= runs/prod256
+GOLDEN ?= docs/golden_history_257x257x257.npz
+golden-gate:
+	python tools/compare_history.py $(WORKDIR)/history.npz $(GOLDEN)
 
 all: native
 

@@ -145,14 +145,14 @@ def bench_spmv(nelem_axis: int, impl: str = "pallas") -> float:
     return dt, grid
 
 
-def bench_solve(nelem_axis: int):
+def bench_solve(nelem_axis: int, nlvls: int = 4):
     """Full MG-PCG state solve at nelem_axis^3 elements."""
     from topopt_in_petsc_tpu.config import TopOptConfig
     from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
 
     n = nelem_axis + 1
     cfg = TopOptConfig(
-        nx=n, ny=n, nz=n, nlvls=4, dtype="float32",
+        nx=n, ny=n, nz=n, nlvls=nlvls, dtype="float32",
         precise_dots=False, ksp_maxit=200, operator_impl="auto",
     )
     cfg.validate()
@@ -263,6 +263,7 @@ def main():
     solve_ne = 16 if smoke else 128
     opt1 = (16, 2) if smoke else (128, 4)
     opt2 = (16, 2) if smoke else (256, 5)
+    solve2_ne, solve2_nlvls = (16, 2) if smoke else (256, 5)
     big_ne, big_nlvls = (32, 2) if smoke else (512, 6)
 
     # --- backend probe: jax.devices() HANGS inside native gRPC when
@@ -396,6 +397,28 @@ def main():
         }
 
     s2 = None  # release the 256^3 OptState before the 512^3 stage (HBM)
+
+    # standalone 256^3 MG-PCG state solve (driver-artifact provenance
+    # for the PERFORMANCE.md headline row; previously only a builder
+    # probe, tools/probe_blocked_solve.py)
+    try:
+        with stage_timeout(1200):
+            sdt, iters, relres, cfg = bench_solve(
+                solve2_ne, nlvls=solve2_nlvls
+            )
+        log(
+            f"solve {solve2_ne}^3: {sdt:.3f} s, iters={iters}, "
+            f"relres={relres:.2e}, PCG "
+            f"{cfg.ndof * max(iters, 1) / sdt / 1e6:.0f} Mdof*iter/s"
+        )
+        stages["solve_256"] = {
+            "ok": True, "s": sdt, "iters": iters, "relres": relres,
+        }
+    except (StageTimeout, Exception) as e:  # noqa: BLE001
+        log(f"solve 256^3 bench failed: {type(e).__name__}: {e}")
+        stages["solve_256"] = {
+            "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
+        }
 
     # BASELINE.md config #5's single-chip leg: 512^3 (405M dof) solve,
     # split warm-up (compile-heavy, own generous budget) / measure

@@ -20,3 +20,8 @@ python -m topopt_in_petsc_tpu \
     -workdir "$WORKDIR" \
     2>&1 | tee "$WORKDIR/run.log"
 python tools/summarize_run.py "$WORKDIR/run.log" | tee "$WORKDIR/summary.txt"
+# golden trajectory gate (docs/GOLDEN_RUN.md): non-zero exit on breach
+python tools/compare_history.py \
+    "$WORKDIR/history.npz" docs/golden_history_257x257x257.npz \
+    | tee "$WORKDIR/golden_gate.txt"
+exit "${PIPESTATUS[0]}"
