@@ -1,0 +1,59 @@
+"""Host-parking of the fused-iteration design state (-park_design).
+
+At 512^3 the chunked fused iteration's design/MMA/filter fields do not
+fit next to the solve's peak HBM; parking moves them to the host during
+the solve phase (parallel/fused_step.py).  Parking is pure data
+movement, so the trajectory must be BIT-exact vs the unparked step.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from topopt_in_petsc_tpu.config import TopOptConfig
+from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
+
+
+def _cfg(park):
+    return TopOptConfig(
+        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, dtype="float32",
+        operator_impl="blocked", ksp_chunk=8, park_design=park,
+        maxItr=3,
+    )
+
+
+@pytest.mark.parametrize("projection", [False])
+def test_park_is_bit_exact(projection):
+    traj = {}
+    for park in (0, 1):
+        cfg = _cfg(park)
+        cfg.validate()
+        step, state = make_fused_step(cfg)
+        vals = []
+        for itr in (1, 2, 3):
+            state = step(state, itr)
+            vals.append((
+                np.asarray(state.x).copy(),
+                float(state.fx), float(state.ch),
+            ))
+        traj[park] = vals
+    for (x0, fx0, ch0), (x1, fx1, ch1) in zip(traj[0], traj[1]):
+        assert fx0 == fx1
+        assert ch0 == ch1
+        np.testing.assert_array_equal(x0, x1)
+
+
+def test_parked_leaves_live_on_host():
+    cfg = _cfg(1)
+    cfg.validate()
+    step, state = make_fused_step(cfg)
+    # the init state's parked leaves are host (numpy) arrays
+    for f in ("x", "xTilde", "L", "U", "xo1", "xo2"):
+        assert isinstance(getattr(state, f), np.ndarray), f
+    # device-resident leaves stay device arrays
+    assert not isinstance(state.xPhys, np.ndarray)
+    s = step(state, 1)
+    for f in ("x", "xTilde", "L", "U", "xo1", "xo2"):
+        assert isinstance(getattr(s, f), np.ndarray), f
+    assert not isinstance(s.xPhys, np.ndarray)
+    assert jnp.isfinite(jnp.asarray(s.fx))

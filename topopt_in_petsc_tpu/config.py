@@ -91,6 +91,15 @@ class TopOptConfig:
     # residual history is not host-visible; the final iter/rerr line is
     # always printed by the driver).
     ksp_monitor: bool = False
+    # giga-dof fused-iteration memory lever: park the design/optimizer
+    # element fields (x, xTilde, L, U, xo1, xo2) and the filter
+    # constants on the HOST while the state solve runs, restoring them
+    # for the tail program — bit-exact (pure data movement, no
+    # precision change), trading ~2x3 GB of PCIe/tunnel traffic per
+    # iteration for ~4 GB of solve-phase HBM.  -1 = auto (on when the
+    # solve is host-chunked AND local ndof >= 3.5e8, the size where the
+    # full fused state exceeds one chip), 0 = never, 1 = always.
+    park_design: int = -1
     coarse_op: str = "rediscretize"  # or "galerkin_octant" (exact
     # level-1 Galerkin; comparable iteration counts, higher per-cycle cost)
     coarse_rtol: float = 1.0e-8
@@ -164,6 +173,15 @@ class TopOptConfig:
         """True when the resolved V-cycle storage is not pure f32."""
         return self.resolve_mg_mode(ndof) != "same"
 
+    def resolve_park(self, ndof: int) -> bool:
+        """Resolved -park_design for a given (local) dof count: the
+        fused iteration's design/MMA/filter state (~4 GB at 512^3) on
+        top of the solve's ~14.5 GB peak exceeds one chip's HBM — park
+        it on the host during the solve phase."""
+        if self.park_design >= 0:
+            return bool(self.park_design)
+        return ndof >= 3.5e8
+
     def resolve_mg_mode(self, ndof: int) -> str:
         """Resolved V-cycle storage mode: "same" (f32), "bfloat16"
         (every level bf16), or "mixed" (f32 fine level, bf16 coarse
@@ -224,7 +242,8 @@ class TopOptConfig:
 
     _INT_FLAGS = ("nx", "ny", "nz", "nlvls", "maxItr", "filter", "nconstraints",
                   "ksp_maxit", "smooth_sweeps", "pde_nlvls", "pde_maxit",
-                  "coarse_maxit", "ksp_gmres_restart", "ksp_chunk")
+                  "coarse_maxit", "ksp_gmres_restart", "ksp_chunk",
+                  "park_design")
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
                    "fused", "ksp_monitor",
                    "precise_dots", "output_cadence_vtu", "output_dat")

@@ -16,6 +16,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from topopt_in_petsc_tpu.config import TopOptConfig
 from topopt_in_petsc_tpu.grid import Grid
@@ -281,13 +282,57 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                     out.append(v)
                 return OptState(*out)
 
+            # giga-dof memory lever (-park_design): the solve's ~14.5 GB
+            # peak at 512^3 leaves no room for the ~4 GB of design/MMA/
+            # filter state the tail needs — park those fields on the
+            # HOST while the chunked solve runs and restore them for the
+            # tail program.  Bit-exact (pure data movement); only xPhys
+            # (consumed by the solve) and u (aliased into the Krylov
+            # state) stay device-resident through the solve phase.
+            park = cfg.resolve_park(cfg.ndof)
+            PARK_FIELDS = ("x", "xTilde", "L", "U", "xo1", "xo2")
+            if park:
+                filt_consts_host = jax.tree_util.tree_map(
+                    np.asarray, filt_consts
+                )
+                # drop every device reference to the spectra/Hs so the
+                # HBM is actually freed during the solve phase
+                filt.Hs = None
+                filt._fft_consts = None
+                if filt._fft_conv is not None:
+                    filt._fft_conv.consts = None
+                filt_consts = filt_consts_host
+                init = init._replace(**{
+                    f: np.asarray(getattr(init, f))
+                    for f in PARK_FIELDS
+                })
+
             def step_jit(s: OptState, itr: int = 3) -> OptState:
                 key = (itr == 1, itr <= 2)
                 # s.u is blocked: the donation into the solve ALIASES
                 # (same layout) — no nodal field exists at solve peak
                 res = physics.solve_state_blocked(s.xPhys, s.u)
+                if park:
+                    # restore the parked host fields for the tail
+                    # (jnp.asarray is a no-op on device leaves, e.g.
+                    # after a beta-continuation reprojection)
+                    s = s._replace(**{
+                        f: jnp.asarray(getattr(s, f))
+                        for f in PARK_FIELDS
+                    })
+                    fc = jax.tree_util.tree_map(
+                        jnp.asarray, filt_consts_host
+                    )
+                else:
+                    fc = filt_consts
                 s = _dedupe(s._replace(u=res.x))
-                return inner[key](s, res.iters, res.relres, filt_consts)
+                out = inner[key](s, res.iters, res.relres, fc)
+                if park:
+                    out = out._replace(**{
+                        f: np.asarray(getattr(out, f))
+                        for f in PARK_FIELDS
+                    })
+                return out
 
             if return_aux:
                 aux = {
