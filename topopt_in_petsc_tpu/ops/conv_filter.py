@@ -37,6 +37,26 @@ def conv3d_direct(x: jax.Array, kernel: jax.Array) -> jax.Array:
     return out[0, 0]
 
 
+def next_smooth(n: int) -> int:
+    """Smallest 5-smooth integer (2^a 3^b 5^c) >= n.
+
+    Zero-padded linear convolution is exact for ANY transform size >=
+    (signal + kernel - 1), so padding up to a smooth size is free
+    correctness-wise and buys real speed: the exact filter sizes at
+    384^3/512^3 (444 = 2^2*3*37, 592 = 2^4*37) carry a radix-37 factor
+    through the TPU FFT.
+    """
+    m = max(int(n), 1)
+    while True:
+        k = m
+        for p in (2, 3, 5):
+            while k % p == 0:
+                k //= p
+        if k == 1:
+            return m
+        m += 1
+
+
 def make_fft_conv(
     shape: Tuple[int, int, int],
     kernel: np.ndarray,
@@ -52,7 +72,9 @@ def make_fft_conv(
     """
     s = (kernel.shape[0] - 1) // 2
     pad = 2 * s - 2 * crop_offset  # extra room for linear conv
-    full = tuple(shape[a] + max(pad, 0) for a in range(3))
+    full = tuple(
+        next_smooth(shape[a] + max(pad, 0)) for a in range(3)
+    )
     f64 = dtype == jnp.float64
     real_dt = jnp.float64 if f64 else jnp.float32
     np_real = np.float64 if f64 else np.float32
