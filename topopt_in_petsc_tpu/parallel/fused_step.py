@@ -250,7 +250,12 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
             # donate the state: u passes through (input->output alias),
             # x->xo1 / xo1->xo2 alias, and the 7 element-field buffers
             # die into their replacements — at 512^3 this halves the
-            # tail program's peak HBM
+            # tail program's peak HBM.  TOPOPT_NO_DONATE_TAIL=1 is a
+            # diagnostic switch for the 384^3 tail INVALID_ARGUMENT
+            # (the component isolation probes all run donation-free).
+            import os as _os
+
+            _donate = not _os.environ.get("TOPOPT_NO_DONATE_TAIL")
             inner = {
                 key: jax.jit(
                     partial(
@@ -258,7 +263,7 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                         fresh_asymptotes=key[1],
                         u_blocked=True,
                     ),
-                    donate_argnums=(0,),
+                    donate_argnums=(0,) if _donate else (),
                 )
                 for key in ((True, True), (False, True), (False, False))
             }
