@@ -14,11 +14,11 @@ from topopt_in_petsc_tpu.config import TopOptConfig
 from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
 
 
-def _cfg(park):
+def _cfg(park, **kw):
     return TopOptConfig(
         nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, dtype="float32",
         operator_impl="blocked", ksp_chunk=8, park_design=park,
-        maxItr=3,
+        maxItr=3, **kw,
     )
 
 
@@ -41,6 +41,56 @@ def test_park_is_bit_exact(projection):
         assert fx0 == fx1
         assert ch0 == ch1
         np.testing.assert_array_equal(x0, x1)
+
+
+def test_tail_split_matches_fused_tail():
+    """-tail_split (two-program tail) is the same ops in two programs:
+    the 3-iteration trajectory must match the single-program tail to
+    f32 roundoff (XLA refusion across the split can reorder reductions,
+    so exact bitness is not guaranteed — agreement must be ~1e-6)."""
+    traj = {}
+    for split in (False, True):
+        cfg = _cfg(0, tail_split=split)
+        cfg.validate()
+        step, state = make_fused_step(cfg)
+        vals = []
+        for itr in (1, 2, 3):
+            state = step(state, itr)
+            vals.append((float(state.fx), float(state.ch)))
+        traj[split] = vals
+    for (fx0, ch0), (fx1, ch1) in zip(traj[False], traj[True]):
+        assert fx0 == pytest.approx(fx1, rel=1e-6)
+        assert ch0 == pytest.approx(ch1, rel=1e-5)
+
+
+def test_parked_driver_restart_roundtrip(tmp_path):
+    """FusedDriver checkpoint/restart with parking on vs off: the
+    parked leaves cross the restart boundary as host arrays; the
+    interrupted-and-resumed trajectory must be IDENTICAL to the same
+    interruption without parking (parking is pure data movement —
+    restart reconstruction semantics are shared and cancel out)."""
+    from topopt_in_petsc_tpu.fused_driver import FusedDriver
+
+    def cfg_for(workdir, maxItr, park, **kw):
+        c = TopOptConfig(
+            nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, dtype="float32",
+            operator_impl="blocked", ksp_chunk=8, park_design=park,
+            fused=True, maxItr=maxItr, workdir=str(workdir), **kw,
+        )
+        c.validate()
+        return c
+
+    final_fx = {}
+    for park in (0, 1):
+        wd = tmp_path / f"p{park}"
+        d1 = FusedDriver(cfg_for(wd, 2, park))
+        d1.run()
+        latest = d1.restart_mgr.latest()
+        assert latest is not None
+        d2 = FusedDriver(cfg_for(wd, 4, park, restartFileVec=latest))
+        resumed = d2.run()
+        final_fx[park] = resumed["fx"][-1]
+    assert final_fx[0] == final_fx[1]
 
 
 def test_parked_leaves_live_on_host():

@@ -100,6 +100,12 @@ class TopOptConfig:
     # solve is host-chunked AND local ndof >= 3.5e8, the size where the
     # full fused state exceeds one chip), 0 = never, 1 = always.
     park_design: int = -1
+    # run the fused iteration's post-solve tail as TWO programs
+    # (objective+filter-gradients, then MMA+project) instead of one —
+    # a smaller-program fallback for giga-dof sizes and a peak-HBM
+    # relief (the MMA dual solve never coexists with the quadform's
+    # transients).  Trajectory-identical (same ops, one host hop).
+    tail_split: bool = False
     coarse_op: str = "rediscretize"  # or "galerkin_octant" (exact
     # level-1 Galerkin; comparable iteration counts, higher per-cycle cost)
     coarse_rtol: float = 1.0e-8
@@ -245,7 +251,7 @@ class TopOptConfig:
                   "coarse_maxit", "ksp_gmres_restart", "ksp_chunk",
                   "park_design")
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
-                   "fused", "ksp_monitor",
+                   "fused", "ksp_monitor", "tail_split",
                    "precise_dots", "output_cadence_vtu", "output_dat")
     _STR_FLAGS = ("restartFileVec", "restartFileItr", "restartFileVecSol",
                   "workdir", "dtype", "coarse_op", "operator_impl",

@@ -82,15 +82,15 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
     # rhs/masks/filter constants flow as jit arguments (large-array
     # closures become XLA constants, which breaks compilation at 256^3+,
     # and complex constants are UNIMPLEMENTED on this backend)
-    def tail(s: OptState, iters, relres, filt_consts, *,
-             first_iter: bool, fresh_asymptotes: bool,
-             u_blocked: bool = False) -> OptState:
-        """Everything after the state solve (objective, filter chain
-        rule, MMA, design filter) from a state whose `u` is the FRESH
-        solution.  Split out so the chunked route (the giga-dof sizes
-        where one device program would hit the 1-2-minute execution
-        kill) can run the solve as a host loop and this tail as its own
-        program.
+    # The post-solve tail (objective, filter chain rule, MMA, design
+    # filter) is written as head+rest so the chunked route can run it
+    # as ONE program (`tail`, the default) or TWO (`-tail_split`:
+    # objective+gradients, then MMA+project — smaller programs, and
+    # the MMA dual solve never coexists with the quadform transients).
+
+    def tail_head(s: OptState, filt_consts, *, first_iter: bool,
+                  u_blocked: bool):
+        """Objective + sensitivity chain rule from the fresh solution.
 
         With u_blocked=True, `s.u` holds the solution in the solver's
         kernel layout; the nodal field needed by the u^T KE u quadratic
@@ -112,6 +112,16 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
             s.x, s.xTilde, dfdx, dgdx, s.beta, eta, Hs,
             fft_consts, projection=projection,
         )
+        # u returned only on the nodal path (the blocked path keeps
+        # s.u; returning the nodal transient would materialize it)
+        return fx, gx, fscale, dfdx, dgdx, (None if u_blocked else u)
+
+    def tail_rest(s: OptState, iters, relres, filt_consts,
+                  fx, gx, fscale, dfdx, dgdx, u=None, *,
+                  fresh_asymptotes: bool,
+                  u_blocked: bool) -> OptState:
+        """Movelimits + MMA dual solve + design filter/projection."""
+        Hs, fft_consts = filt_consts
         xmin, xmax = mma._movelimit_impl(
             s.x,
             jnp.asarray(cfg.Xmin, dt),
@@ -136,6 +146,17 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
             fscale=fscale, beta=s.beta, fx=fx, gx=gx, ch=ch,
             mnd=mnd,
             solver_iters=iters, solver_relres=relres,
+        )
+
+    def tail(s: OptState, iters, relres, filt_consts, *,
+             first_iter: bool, fresh_asymptotes: bool,
+             u_blocked: bool = False) -> OptState:
+        fx, gx, fscale, dfdx, dgdx, u = tail_head(
+            s, filt_consts, first_iter=first_iter, u_blocked=u_blocked
+        )
+        return tail_rest(
+            s, iters, relres, filt_consts, fx, gx, fscale, dfdx, dgdx,
+            u, fresh_asymptotes=fresh_asymptotes, u_blocked=u_blocked,
         )
 
     def step(s: OptState, rhs, masks, filt_consts, *,
@@ -267,6 +288,41 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                 )
                 for key in ((True, True), (False, True), (False, False))
             }
+            if cfg.tail_split:
+                # two-program tail: head reuses s (no donation), rest
+                # donates s plus the gradient fields (they die there)
+                head_jits = {
+                    fi: jax.jit(
+                        partial(
+                            tail_head, first_iter=fi, u_blocked=True
+                        )
+                    )
+                    for fi in (True, False)
+                }
+                rest_jits = {
+                    fa: jax.jit(
+                        partial(
+                            tail_rest, fresh_asymptotes=fa,
+                            u_blocked=True,
+                        ),
+                        donate_argnums=(0, 7, 8) if _donate else (),
+                    )
+                    for fa in (True, False)
+                }
+
+                def _tail_split_call(key, s, iters, relres, fc):
+                    fx, gx, fscale, dfdx, dgdx, _ = head_jits[key[0]](
+                        s, fc
+                    )
+                    return rest_jits[key[1]](
+                        s, iters, relres, fc, fx, gx, fscale, dfdx,
+                        dgdx,
+                    )
+
+                inner = {
+                    key: partial(_tail_split_call, key)
+                    for key in inner
+                }
 
             def _dedupe(s: OptState) -> OptState:
                 """Donation requires distinct buffers per leaf; the
