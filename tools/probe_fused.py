@@ -43,18 +43,20 @@ def main():
     # diagnosis accelerator: a tiny ksp_maxit reaches the tail program
     # in seconds instead of a full 80-s solve per attempt
     maxit = int(sys.argv[4]) if len(sys.argv) > 4 else 400
+    tail_split = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
     n = ne + 1
     cfg = TopOptConfig(
         nx=n, ny=n, nz=n, nlvls=nlvls, dtype="float32",
         precise_dots=False, ksp_maxit=maxit, operator_impl="auto",
-        mg_dtype=mg_dtype,
+        mg_dtype=mg_dtype, tail_split=tail_split,
         smooth_sweeps=2 if ne >= 512 else 4,
     )
     cfg.validate()
     step, state = make_fused_step(cfg)
     print(f"ndof={cfg.ndof:,}, nlvls={nlvls}, "
           f"mg_dtype={cfg.resolve_mg_mode(cfg.ndof)} (cli: {mg_dtype}), "
-          f"ksp_maxit={maxit}, park={cfg.resolve_park(cfg.ndof)}",
+          f"ksp_maxit={maxit}, park={cfg.resolve_park(cfg.ndof)}, "
+          f"tail_split={tail_split}",
           flush=True)
     t0 = time.perf_counter()
     s = step(state, 1)
