@@ -398,3 +398,41 @@ def test_absrowsum_stencil_matches_gather_form():
     got = hex_operator_absrowsum(E, KE, grid.nn)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-10)
+
+
+def test_blocked_solve_bf16_fine_post_smooth():
+    """fine_post_smooth: an f32 Chebyshev refinement appended to the
+    bf16 V-cycle (resident f32 fine kernel).  Must converge to the f32
+    tolerance in no MORE iterations than plain bf16 (it strictly
+    improves the preconditioner), and stay a no-op for f32 V-cycles."""
+    from topopt_in_petsc_tpu.config import TopOptConfig
+    from topopt_in_petsc_tpu.models.elasticity import LinearElasticity
+
+    cfg = TopOptConfig(
+        nx=9, ny=5, nz=5, nlvls=2, dtype="float32",
+        operator_impl="xla", ksp_rtol=1e-6, ksp_maxit=200,
+    )
+    cfg.validate()
+    phys = LinearElasticity(cfg)
+    grids = phys.grid.hierarchy(cfg.nlvls)
+    KEs = [hex8_stiffness(*g.h, cfg.nu) for g in grids]
+    x = jnp.full(phys.grid.ne, 0.5, jnp.float32)
+    iters = {}
+    for post in (0, 2):
+        bmg = BlockedElasticityMG(
+            grids, KEs, mg_dtype=jnp.bfloat16, interpret=True,
+            fine_post_smooth=post,
+        )
+        op0 = bmg.op32
+        b = op0.mask0(op0.to_blocked(phys.RHS))
+        res = bmg.solve(
+            phys.simp(x), b, jnp.zeros_like(b), rtol=1e-6, maxiter=200,
+        )
+        assert float(res.relres) < 1e-6
+        iters[post] = int(res.iters)
+    assert iters[2] <= iters[0]
+    # f32 V-cycle: the option is disabled (op32 IS ops[0])
+    bmg32 = BlockedElasticityMG(
+        grids, KEs, interpret=True, fine_post_smooth=2,
+    )
+    assert bmg32.fine_post_smooth == 0

@@ -40,12 +40,14 @@ def main():
     kc = jnp.bfloat16 if mode in ("bf16", "f32c", "mixed") else None
     n = int(sys.argv[6]) if len(sys.argv) > 6 else 513
     cheby_lower = float(sys.argv[7]) if len(sys.argv) > 7 else 0.06
+    fine_post = int(sys.argv[8]) if len(sys.argv) > 8 else 0
     grid = Grid(nn=(n, n, n), lo=(0, 0, 0), hi=(2, 1, 1))
     grids = grid.hierarchy(nlvls)
     KEs = [hex8_stiffness(*g.h, 0.3) for g in grids]
     bmg = BlockedElasticityMG(
         grids, KEs, smooth_sweeps=sweeps, precise_dots=False,
         mg_dtype=mgdt, krylov_compress=kc, cheby_lower=cheby_lower,
+        fine_post_smooth=fine_post,
     )
     op0 = bmg.ops[0]
     print(
@@ -85,7 +87,7 @@ def main():
     ndof = 3 * n**3
     print(
         f"{n-1}^3 sweeps={sweeps} flexible={flexible} nlvls={nlvls} "
-        f"mg={mode} cheby_lower={cheby_lower}: "
+        f"mg={mode} cheby_lower={cheby_lower} fine_post={fine_post}: "
         f"{dt:.3f} s, iters={int(res.iters)}, "
         f"relres={float(res.relres):.2e}, ndof={ndof:,}, "
         f"PCG {ndof * max(int(res.iters), 1) / dt / 1e6:.0f} Mdof*iter/s"

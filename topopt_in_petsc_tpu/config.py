@@ -106,6 +106,11 @@ class TopOptConfig:
     # relief (the MMA dual solve never coexists with the quadform's
     # transients).  Trajectory-identical (same ops, one host hop).
     tail_split: bool = False
+    # degree of an f32 Chebyshev refinement appended to a
+    # reduced-precision (bf16) V-cycle, using the resident f32 fine
+    # kernel — damps the bf16 rounding noise for ~1 f32 matvec per
+    # degree with zero extra stored vectors.  0 = off.
+    mg_fine_post: int = 0
     coarse_op: str = "rediscretize"  # or "galerkin_octant" (exact
     # level-1 Galerkin; comparable iteration counts, higher per-cycle cost)
     coarse_rtol: float = 1.0e-8
@@ -249,7 +254,7 @@ class TopOptConfig:
     _INT_FLAGS = ("nx", "ny", "nz", "nlvls", "maxItr", "filter", "nconstraints",
                   "ksp_maxit", "smooth_sweeps", "pde_nlvls", "pde_maxit",
                   "coarse_maxit", "ksp_gmres_restart", "ksp_chunk",
-                  "park_design")
+                  "park_design", "mg_fine_post")
     _BOOL_FLAGS = ("projectionFilter", "restart", "onlyLoadDesign",
                    "fused", "ksp_monitor", "tail_split",
                    "precise_dots", "output_cadence_vtu", "output_dat")

@@ -151,6 +151,7 @@ class LinearElasticity:
                     "bfloat16": jnp.bfloat16,
                     "mixed": "mixed",
                 }[cfg.resolve_mg_mode(cfg.ndof)],
+                fine_post_smooth=cfg.mg_fine_post,
                 interpret=not on_tpu,
             )
             if on_tpu:

@@ -58,6 +58,7 @@ class BlockedElasticityMG:
         precise_dots: bool = True,
         mg_dtype=None,
         krylov_compress="auto",
+        fine_post_smooth: int = 0,
         lane_cap: int | None = None,
         interpret: bool = False,
     ):
@@ -107,6 +108,12 @@ class BlockedElasticityMG:
                 else None
             )
         self.krylov_compress = krylov_compress
+        # degree of the f32 post-refinement smooth appended to a
+        # reduced-precision V-cycle (no-op when the V-cycle is f32 or
+        # when 0); see _outer_ops
+        self.fine_post_smooth = (
+            fine_post_smooth if self.op32 is not self.ops[0] else 0
+        )
         self.smooth_sweeps = smooth_sweeps
         self.cheby_lower = cheby_lower
         self.cheby_upper = cheby_upper
@@ -210,7 +217,27 @@ class BlockedElasticityMG:
 
             def M(r):
                 z = self.vcycle(levels, r.astype(mgdt))
-                return z.astype(r.dtype)
+                z = z.astype(r.dtype)
+                if self.fine_post_smooth > 0:
+                    # f32 refinement of the bf16 V-cycle output using
+                    # the RESIDENT f32 fine kernel (op32/eb32, already
+                    # in the carry for the outer matvec): bf16 rounding
+                    # noise in z is spectrally flat, and its
+                    # high-frequency part is exactly what a short f32
+                    # Chebyshev-Jacobi step damps — iteration-parity
+                    # recovery for ~1 extra f32 matvec per degree,
+                    # zero extra STORED vectors (transients only).
+                    # Appending an unsymmetric step is fine under the
+                    # flexible outer (fcg, the default at this size).
+                    z = chebyshev_smooth(
+                        A, r, z,
+                        levels[0]["dinv"].astype(r.dtype),
+                        levels[0]["lmax"],
+                        degree=self.fine_post_smooth,
+                        lower=self.cheby_lower,
+                        upper=self.cheby_upper,
+                    )
+                return z
 
         return A, M
 
