@@ -99,6 +99,7 @@ class BlockedSpmdMG:
         precise_dots: bool = True,
         mg_dtype=None,
         krylov_compress="auto",
+        fine_post_smooth: int = 0,
         interpret: bool = False,
     ):
         self.mesh_shape = decomp.mesh_shape
@@ -140,6 +141,11 @@ class BlockedSpmdMG:
                 else None
             )
         self.krylov_compress = krylov_compress
+        # f32 refinement after a reduced-precision V-cycle (no-op for
+        # f32 V-cycles); see blocked_mg for the rationale
+        self.fine_post_smooth = (
+            fine_post_smooth if self.op32 is not self.ops[0] else 0
+        )
         self.smooth_sweeps = smooth_sweeps
         self.cheby_lower = cheby_lower
         self.cheby_upper = cheby_upper
@@ -329,7 +335,19 @@ class BlockedSpmdMG:
 
             def M(r):
                 z = self.vcycle(env, r.astype(mgdt))
-                return z.astype(r.dtype)
+                z = z.astype(r.dtype)
+                if self.fine_post_smooth > 0:
+                    # f32 refinement with the halo-correct f32 fine
+                    # operator — same lever as blocked_mg._outer_ops
+                    z = chebyshev_smooth(
+                        A, r, z,
+                        lvl0["dinvb"].astype(r.dtype),
+                        lvl0["lmax"],
+                        degree=self.fine_post_smooth,
+                        lower=self.cheby_lower,
+                        upper=self.cheby_upper,
+                    )
+                return z
 
         return A, M
 

@@ -130,6 +130,7 @@ class SpmdElasticity:
                     "bfloat16": jnp.bfloat16,
                     "mixed": "mixed",
                 }[cfg.resolve_mg_mode(local_ndof)],
+                fine_post_smooth=cfg.mg_fine_post,
                 interpret=not on_tpu,
             )
             if on_tpu:
