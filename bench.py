@@ -206,7 +206,7 @@ def measure_512(phys, x):
     return dt, int(res.iters), float(res.relres)
 
 
-def bench_opt_iter(nelem_axis: int, nlvls: int = 4):
+def bench_opt_iter(nelem_axis: int, nlvls: int = 4, **cfg_kw):
     """One fused optimization iteration (solve+filter+MMA)."""
     from topopt_in_petsc_tpu.config import TopOptConfig
     from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
@@ -214,7 +214,8 @@ def bench_opt_iter(nelem_axis: int, nlvls: int = 4):
     n = nelem_axis + 1
     cfg = TopOptConfig(
         nx=n, ny=n, nz=n, nlvls=nlvls, dtype="float32",
-        precise_dots=False, ksp_maxit=200, operator_impl="auto",
+        precise_dots=False, operator_impl="auto",
+        **{"ksp_maxit": 200, **cfg_kw},
     )
     step, state = make_fused_step(cfg)
     # honest driver semantics: itr 1 (fscale + fresh asymptotes) and
@@ -457,6 +458,38 @@ def main():
             stages["solve_512"] = {
                 "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
             }
+
+    phys5 = x5 = None  # release the 512^3 solver before the fused stage
+
+    # the giga-dof FULL optimization iteration (solve + filter + MMA at
+    # 405M dof on one chip: -park_design host parking + bf16 V-cycle +
+    # host-chunked Krylov).  Own stage so a failure (the historical
+    # INVALID_ARGUMENT / RESOURCE_EXHAUSTED classes) degrades to an
+    # honest red row instead of eating the run.
+    if os.environ.get("BENCH_SKIP_FUSED512"):
+        stages["opt_iter_512"] = {"ok": False, "error": "skipped"}
+    else:
+        try:
+            with stage_timeout(4200):
+                it_dt, s2 = bench_opt_iter(
+                    big_ne, nlvls=big_nlvls, ksp_maxit=400,
+                    smooth_sweeps=2 if big_ne >= 512 else 4,
+                )
+            log(
+                f"opt-iter {big_ne}^3 (fused, parked): {it_dt:.1f} "
+                f"s/iteration (solver_iters={int(s2.solver_iters)}, "
+                f"fx={float(s2.fx):.4f})"
+            )
+            stages["opt_iter_512"] = {
+                "ok": True, "s_per_iter": it_dt,
+                "solver_iters": int(s2.solver_iters),
+            }
+        except (StageTimeout, Exception) as e:  # noqa: BLE001
+            log(f"opt-iter 512^3 bench failed: {type(e).__name__}: {e}")
+            stages["opt_iter_512"] = {
+                "ok": False, "error": f"{type(e).__name__}: {e}"[:300],
+            }
+        s2 = None
 
     emit(
         nnz_s,
