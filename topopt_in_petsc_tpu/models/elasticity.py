@@ -351,12 +351,8 @@ class LinearElasticity:
         )
         # blocked warm start: same layout -> the donation ALIASES
         self._chunk_x0_blocked = jax.jit(op0.mask0, donate_argnums=(0,))
-        self._chunk_Eb = jax.jit(
-            lambda xp: (
-                self.simp(xp.astype(self.dtype)),
-                op0.cantilever_rhs(),
-            )
-        )
+        # stable function object: _chunk_jits caches per (ksp, coef_fn)
+        self._simp_coef = lambda xp: self.simp(xp.astype(self.dtype))
         self._chunk_post = jax.jit(
             lambda xb: op0.from_blocked(xb, self.dtype)
         )
@@ -379,11 +375,13 @@ class LinearElasticity:
         layout — callers convert via _chunk_post when they need the
         nodal field."""
         cfg = self.cfg
-        E, b = self._chunk_Eb(xPhys)
-        # solve_chunked releases E/b/x0 once the initial residual is
-        # built (512^3 HBM)
+        # SIMP and the cantilever load are applied/built INSIDE the
+        # init program (coef_fn / b=None): no standalone E (0.54 GB)
+        # or b (1.62 GB) arrays pinned next to xPhys at 512^3 — the
+        # margin that OOMed the fused iteration's solve leg
         return self._bsolver.solve_chunked(
-            E, b, x0_blk,
+            xPhys, None, x0_blk,
+            coef_fn=self._simp_coef,
             rtol=cfg.ksp_rtol,
             maxiter=cfg.ksp_maxit,
             chunk=chunk,

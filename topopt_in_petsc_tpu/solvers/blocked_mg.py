@@ -285,14 +285,15 @@ class BlockedElasticityMG:
             p_compress=compress,
         )
 
-    def _chunk_jits(self, ksp_type: str):
+    def _chunk_jits(self, ksp_type: str, coef_fn=None):
         """Jitted (init, step) pair for `solve_chunked`, cached per
-        instance+ksp_type."""
+        instance+ksp_type(+coefficient map)."""
         cache = getattr(self, "_cjit_cache", None)
         if cache is None:
             cache = self._cjit_cache = {}
-        if ksp_type in cache:
-            return cache[ksp_type]
+        key = (ksp_type, coef_fn)
+        if key in cache:
+            return cache[key]
         opts = dict(
             flexible=(ksp_type != "cg"), **self._pcg_opts(ksp_type)
         )
@@ -300,6 +301,16 @@ class BlockedElasticityMG:
 
         @functools.partial(jax.jit, donate_argnums=(2,))
         def init(E_fine, b_blk, x0_blk, rtol):
+            # coef_fn (e.g. the SIMP map) and a None rhs are applied /
+            # built INSIDE this program: E and the cantilever load are
+            # then transients of the init execution instead of two
+            # standalone arrays (0.54 + 1.62 GB at 512^3) pinned across
+            # the program handoff — the margin that OOMed the fused
+            # iteration's solve leg next to its xPhys field.
+            if coef_fn is not None:
+                E_fine = coef_fn(E_fine)
+            if b_blk is None:
+                b_blk = self.op32.cantilever_rhs()
             levels = self.setup(E_fine)
             A, M = self._outer_ops(levels)
             # maxiter=0: run setup + the initial residual/preconditioner
@@ -319,7 +330,7 @@ class BlockedElasticityMG:
             )
             return st
 
-        cache[ksp_type] = (init, step)
+        cache[key] = (init, step)
         return init, step
 
     def solve_chunked(
@@ -333,9 +344,15 @@ class BlockedElasticityMG:
         chunk: int = 32,
         ksp_type: str = "fcg",
         callback=None,
+        coef_fn=None,
     ) -> CGResult:
         """Same Krylov trajectory as `solve`, executed as a host loop
         over `chunk`-iteration device programs.
+
+        `coef_fn` maps the first argument to the element scale INSIDE
+        the init program (pass xPhys + the SIMP map instead of a
+        materialized E); `b_blk=None` builds the cantilever load inside
+        the init program likewise — both keep giga-dof HBM margins.
 
         This backend kills single device executions beyond ~1-2 minutes
         (hardware-bisected: 513^3 x 40 iterations = 31 s runs; the same
@@ -353,7 +370,7 @@ class BlockedElasticityMG:
                 "solve_chunked supports fcg/cg (fgmres restarts are "
                 "their own natural chunks; use solve())"
             )
-        init, stepf = self._chunk_jits(ksp_type)
+        init, stepf = self._chunk_jits(ksp_type, coef_fn)
         rtol_a = jnp.asarray(rtol, jnp.float32)
         levels, st = init(E_fine, b_blk, x0_blk, rtol_a)
         # drop the python refs: b is dead after the initial residual and
