@@ -59,10 +59,10 @@ def main():
 
     def solve(x0, E):
         # chunked host loop: this backend kills device executions
-        # beyond ~1-2 min; the Krylov state crosses the jit boundary
-        b = jax.jit(bmg.op32.cantilever_rhs)()
+        # beyond ~1-2 min; the Krylov state crosses the jit boundary.
+        # b=None: the cantilever load is built INSIDE the init program
         return bmg.solve_chunked(
-            E, b, x0, rtol=1e-5, maxiter=maxit, chunk=32,
+            E, None, x0, rtol=1e-5, maxiter=maxit, chunk=32,
             ksp_type="fcg" if flexible else "cg",
             callback=lambda k, rr: print(
                 f"  k={k} relres={rr:.3e}", flush=True
