@@ -235,13 +235,22 @@ class SpmdElasticity:
             self.decomp.to_blocked_nodal(np.asarray(arr))
         )
 
+    def _zeros_blk(self, shape, dtype):
+        # DEVICE-side zeros: a host np.zeros + put_blocked would ship
+        # the full field over the (slow) host->device link — 1.7 GiB
+        # per 512^3 warm start; a jitted constant costs nothing
+        return jax.jit(
+            lambda: jnp.zeros(shape, dtype),
+            out_shardings=NamedSharding(self.mesh, BLK),
+        )()
+
     def zeros_nodal_blk(self):
         mx, my, mz = self.mesh_shape
         nxl, nyl, nzl = self.decomp.local_nn(0)
-        return self._put_blk(
-            np.zeros((mx, my, mz, nxl, nyl, nzl, 3),
-                     np.float64 if self.cfg.dtype == "float64"
-                     else np.float32)
+        return self._zeros_blk(
+            (mx, my, mz, nxl, nyl, nzl, 3),
+            jnp.float64 if self.cfg.dtype == "float64"
+            else jnp.float32,
         )
 
     def zeros_kernel_blk(self):
@@ -250,8 +259,8 @@ class SpmdElasticity:
         same trick single-chip)."""
         mx, my, mz = self.mesh_shape
         op32 = self._bspmd.op32
-        return self._put_blk(
-            np.zeros((mx, my, mz, 3, op32.rows, op32.Lcp), np.float32)
+        return self._zeros_blk(
+            (mx, my, mz, 3, op32.rows, op32.Lcp), jnp.float32
         )
 
     def simp(self, x):
