@@ -268,23 +268,43 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
         # via PCGState, warm start AND solution in the kernel layout) +
         # the `tail` program; otherwise one fused program.
         if chunk > 0:
-            # donate the state: u passes through (input->output alias),
-            # x->xo1 / xo1->xo2 alias, and the 7 element-field buffers
-            # die into their replacements — at 512^3 this halves the
-            # tail program's peak HBM.  TOPOPT_NO_DONATE_TAIL=1 is a
-            # diagnostic switch for the 384^3 tail INVALID_ARGUMENT
-            # (the component isolation probes all run donation-free).
+            # Donation layout (hardware-bisected, round 5): donating
+            # the WHOLE state triggers a backend INVALID_ARGUMENT at
+            # >= 384^3 (runs/probe_fused_384_fast.log fails, the
+            # donation-free variant runs green — every tail component
+            # is green standalone).  The donated state contained
+            # IDENTITY input->output aliases (u -> u, x -> xo1,
+            # xo1 -> xo2, beta/fscale passthroughs); restructure so
+            # those leaves are NOT program outputs at all — the host
+            # reattaches the original arrays (copy-free, bit-identical)
+            # — and only the genuinely-consumed element fields
+            # (xTilde, xPhys, L, U, xo2) are donated, which keeps the
+            # full buffer-reuse benefit at 512^3 (5 dying fields alias
+            # the 5 fresh outputs).  TOPOPT_NO_DONATE_TAIL=1 disables
+            # even that (diagnostic).
             import os as _os
 
             _donate = not _os.environ.get("TOPOPT_NO_DONATE_TAIL")
+            DON = ("xTilde", "xPhys", "L", "U", "xo2")
+            OUT = ("x", "xTilde", "xPhys", "L", "U", "fscale",
+                   "fx", "gx", "ch", "mnd")
+
+            def tail_prog(kept, don, iters, relres, fc, *,
+                          first_iter, fresh_asymptotes):
+                s = OptState(**kept, **don)
+                out = tail(
+                    s, iters, relres, fc, first_iter=first_iter,
+                    fresh_asymptotes=fresh_asymptotes, u_blocked=True,
+                )
+                return {f: getattr(out, f) for f in OUT}
+
             inner = {
                 key: jax.jit(
                     partial(
-                        tail, first_iter=key[0],
+                        tail_prog, first_iter=key[0],
                         fresh_asymptotes=key[1],
-                        u_blocked=True,
                     ),
-                    donate_argnums=(0,) if _donate else (),
+                    donate_argnums=(1,) if _donate else (),
                 )
                 for key in ((True, True), (False, True), (False, False))
             }
@@ -305,19 +325,26 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                             tail_rest, fresh_asymptotes=fa,
                             u_blocked=True,
                         ),
-                        donate_argnums=(0, 7, 8) if _donate else (),
+                        # donate only the consumed gradients — donating
+                        # the state's identity passthroughs triggers
+                        # the >=384^3 backend INVALID_ARGUMENT
+                        # (runs/probe_fused_384_split.log)
+                        donate_argnums=(7, 8) if _donate else (),
                     )
                     for fa in (True, False)
                 }
 
-                def _tail_split_call(key, s, iters, relres, fc):
+                def _tail_split_call(key, kept, don, iters, relres,
+                                     fc):
+                    s = OptState(**kept, **don)
                     fx, gx, fscale, dfdx, dgdx, _ = head_jits[key[0]](
                         s, fc
                     )
-                    return rest_jits[key[1]](
+                    out = rest_jits[key[1]](
                         s, iters, relres, fc, fx, gx, fscale, dfdx,
                         dgdx,
                     )
+                    return {f: getattr(out, f) for f in OUT}
 
                 inner = {
                     key: partial(_tail_split_call, key)
@@ -373,6 +400,10 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                 # s.u is blocked: the donation into the solve ALIASES
                 # (same layout) — no nodal field exists at solve peak
                 res = physics.solve_state_blocked(s.xPhys, s.u)
+                # next-state history BEFORE restore: in parked mode the
+                # host copies of x/xo1 become xo1/xo2 directly (two
+                # fewer D2H transfers per iteration)
+                x_prev, xo1_prev = s.x, s.xo1
                 if park:
                     # restore the parked host fields for the tail
                     # (jnp.asarray is a no-op on device leaves, e.g.
@@ -386,8 +417,24 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                     )
                 else:
                     fc = filt_consts
+                    x_prev, xo1_prev = None, None  # use device leaves
                 s = _dedupe(s._replace(u=res.x))
-                out = inner[key](s, res.iters, res.relres, fc)
+                kept = {
+                    f: getattr(s, f)
+                    for f in OptState._fields if f not in DON
+                }
+                don = {f: getattr(s, f) for f in DON}
+                o = inner[key](kept, don, res.iters, res.relres, fc)
+                out = OptState(
+                    x=o["x"], xTilde=o["xTilde"], xPhys=o["xPhys"],
+                    u=s.u,
+                    L=o["L"], U=o["U"],
+                    xo1=x_prev if x_prev is not None else s.x,
+                    xo2=xo1_prev if xo1_prev is not None else s.xo1,
+                    fscale=o["fscale"], beta=s.beta,
+                    fx=o["fx"], gx=o["gx"], ch=o["ch"], mnd=o["mnd"],
+                    solver_iters=res.iters, solver_relres=res.relres,
+                )
                 if park:
                     out = out._replace(**{
                         f: np.asarray(getattr(out, f))
