@@ -611,6 +611,18 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         solver_iters=REP, solver_relres=REP, u_pde=BLK, pde_viol=REP,
     )
 
+    # external-mode donation split (see the comment inside make_step):
+    # u_pde is a real (consumed) output only under the PDE filter —
+    # otherwise it is a tiny placeholder passthrough and must NOT be
+    # donated
+    don_fields = ("xTilde", "xPhys", "L", "U", "xo2") + (
+        ("u_pde",) if cfg.filter == 2 else ()
+    )
+    EXT_OUT_FIELDS = (
+        "x", "xTilde", "xPhys", "L", "U", "fscale", "fx", "gx", "ch",
+        "mnd", "u_pde", "pde_viol",
+    )
+
     def make_step(
         first_iter: bool,
         fresh_asymptotes: bool,
@@ -620,22 +632,8 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
         # Krylov, see `step_chunked` below); this program receives the
         # solution in the op32 kernel layout + iters/relres and runs
         # only the objective/filter/MMA tail of the iteration.
-        in_specs = (state_spec, BLK, env_spec, pde_env_spec,
-                    fconsts_spec)
-        if external_solve:
-            in_specs = in_specs + (BLK, REP, REP)
-
-        donate = (0, 5) if external_solve else ()
-
-        @partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=in_specs,
-            out_specs=state_spec,
-            check_vma=False,
-        )
-        def step(state: SpmdOptState, rhs_blk, env_blk, pde_env_blk,
-                 fc, *ext):
+        def core(state: SpmdOptState, rhs_blk, env_blk, pde_env_blk,
+                 fc, ext):
             conv = (
                 (lambda v: conv_local(v, fc))
                 if conv_local is not None
@@ -749,25 +747,77 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             mnd = psum_scalar(
                 jnp.sum(4.0 * xPhys * (1.0 - xPhys))
             ) / nelem
-            out = SpmdOptState(
+            return SpmdOptState(
                 x=x_new, xTilde=xTilde, xPhys=xPhys, u=u, L=L, U=U,
                 xo1=s_loc.x, xo2=s_loc.xo1, fscale=fscale,
                 beta=s_loc.beta, fx=fx,
                 gx=gx, ch=ch, mnd=mnd, solver_iters=iters,
                 solver_relres=relres, u_pde=u_pde, pde_viol=pde_viol,
             )
-            return SpmdOptState(
-                *[
-                    unpeel(v) if spec is BLK else v
-                    for v, spec in zip(out, state_spec)
-                ]
-            )
 
-        # external mode donates the old state (dead after the call: the
-        # driver replaces it; x->xo1 etc. alias input->output) and the
-        # kernel-layout solution (the tail converts it to nodal u) —
-        # together several full fields of peak HBM at 512^3 shards
-        return jax.jit(step, donate_argnums=donate)
+        if not external_solve:
+            # single-program iteration: no donation, the full state is
+            # a safe output (identity passthroughs without donation are
+            # plain copies)
+            @partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(state_spec, BLK, env_spec, pde_env_spec,
+                          fconsts_spec),
+                out_specs=state_spec,
+                check_vma=False,
+            )
+            def step(state, rhs_blk, env_blk, pde_env_blk, fc):
+                out = core(state, rhs_blk, env_blk, pde_env_blk, fc,
+                           ())
+                return SpmdOptState(
+                    *[
+                        unpeel(v) if spec is BLK else v
+                        for v, spec in zip(out, state_spec)
+                    ]
+                )
+
+            return jax.jit(step)
+
+        # External (chunked) mode — the same donation layout as the
+        # single-chip tail (parallel/fused_step.py): donating the WHOLE
+        # state triggers a backend INVALID_ARGUMENT at >= 384^3-class
+        # shards via its IDENTITY input->output aliases (u, x->xo1,
+        # xo1->xo2; hardware-bisected round 5).  Only the consumed
+        # element fields are donated; passthrough leaves are reattached
+        # by the host loop (copy-free) and are not program outputs.
+        kept_spec = {
+            f: getattr(state_spec, f)
+            for f in SpmdOptState._fields if f not in don_fields
+        }
+        don_spec = {f: getattr(state_spec, f) for f in don_fields}
+        out_spec = {
+            f: getattr(state_spec, f) for f in EXT_OUT_FIELDS
+        }
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(kept_spec, don_spec, BLK, env_spec,
+                      pde_env_spec, fconsts_spec, BLK, REP, REP),
+            out_specs=out_spec,
+            check_vma=False,
+        )
+        def step_ext(kept, don, rhs_blk, env_blk, pde_env_blk, fc,
+                     xk_blk, iters, relres):
+            out = core(
+                SpmdOptState(**kept, **don), rhs_blk, env_blk,
+                pde_env_blk, fc, (xk_blk, iters, relres),
+            )
+            return {
+                f: (
+                    unpeel(getattr(out, f))
+                    if out_spec[f] is BLK else getattr(out, f)
+                )
+                for f in EXT_OUT_FIELDS
+            }
+
+        return jax.jit(step_ext, donate_argnums=(1,))
 
     # host-chunked state solve (the -ksp_chunk lever on the SPMD path):
     # per-shard work sets program runtime, so the auto rule uses LOCAL
@@ -889,9 +939,26 @@ def make_spmd_fused_step(cfg: TopOptConfig, mesh: Mesh | None = None):
             relres = jnp.asarray(
                 float(pst.rnorm) / max(bnorm, 1e-300), dt
             )
-            return fn(
-                st, engine.rhs_blk, engine.env_blk, pde_env_blk,
-                fconsts, pst.x, pst.k, relres,
+            kept = {
+                f: getattr(st, f)
+                for f in SpmdOptState._fields if f not in don_fields
+            }
+            don = {f: getattr(st, f) for f in don_fields}
+            o = fn(
+                kept, don, engine.rhs_blk, engine.env_blk,
+                pde_env_blk, fconsts, pst.x, pst.k, relres,
+            )
+            # passthrough leaves reattached host-side (never program
+            # outputs — the donation-safety layout): the solver's
+            # kernel-layout solution IS the next warm start
+            return SpmdOptState(
+                x=o["x"], xTilde=o["xTilde"], xPhys=o["xPhys"],
+                u=pst.x,
+                L=o["L"], U=o["U"], xo1=st.x, xo2=st.xo1,
+                fscale=o["fscale"], beta=st.beta,
+                fx=o["fx"], gx=o["gx"], ch=o["ch"], mnd=o["mnd"],
+                solver_iters=pst.k, solver_relres=relres,
+                u_pde=o["u_pde"], pde_viol=o["pde_viol"],
             )
 
     else:
