@@ -117,7 +117,13 @@ class TopOptConfig:
     coarse_maxit: int = 30
     smooth_sweeps: int = 4  # Chebyshev degree per pre/post smooth
     cheby_upper: float = 1.1  # smooth band = [lower*lmax, upper*lmax]
-    cheby_lower: float = 0.06  # (lmax from the certain Gershgorin bound)
+    # -1 = auto: 0.06 for the default degree-4 smoother; 0.25 when a
+    # reduced-precision V-cycle runs degree <= 2 (the 512^3 recipe) —
+    # a degree-2 polynomial cannot damp a [0.06, 1.1] band, and
+    # narrowing it is a measured free win (110 -> 97 iterations,
+    # 83.2 -> 73.4 s at 512^3; docs/PERFORMANCE.md round-5e).
+    # (lmax from the certain Gershgorin bound.)
+    cheby_lower: float = -1.0
 
     # --- PDE filter solver (PDEFilter.cc:269-380) ---
     pde_nlvls: int = 3
@@ -192,6 +198,18 @@ class TopOptConfig:
         if self.park_design >= 0:
             return bool(self.park_design)
         return ndof >= 3.5e8
+
+    def resolve_cheby_lower(self, ndof: int) -> float:
+        """Resolved smoother band lower bound (see the field comment):
+        explicit value wins; auto narrows the band to 0.25 when the
+        resolved V-cycle is reduced-precision AND the smoother degree
+        is <= 2 (the giga-dof recipe)."""
+        if self.cheby_lower >= 0:
+            return self.cheby_lower
+        if self.resolve_mg_mode(ndof) != "same" and \
+                self.smooth_sweeps <= 2:
+            return 0.25
+        return 0.06
 
     def resolve_mg_mode(self, ndof: int) -> str:
         """Resolved V-cycle storage mode: "same" (f32), "bfloat16"

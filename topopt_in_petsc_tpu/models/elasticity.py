@@ -133,7 +133,7 @@ class LinearElasticity:
                 grids,
                 KEs,
                 smooth_sweeps=cfg.smooth_sweeps,
-                cheby_lower=cfg.cheby_lower,
+                cheby_lower=cfg.resolve_cheby_lower(cfg.ndof),
                 cheby_upper=cfg.cheby_upper,
                 coarse_rtol=cfg.coarse_rtol,
                 coarse_maxit=cfg.coarse_maxit,
@@ -223,7 +223,7 @@ class LinearElasticity:
             dof=3,
             dtype=self.dtype,
             smooth_sweeps=cfg.smooth_sweeps,
-            cheby_lower=cfg.cheby_lower,
+            cheby_lower=cfg.resolve_cheby_lower(cfg.ndof),
             cheby_upper=cfg.cheby_upper,
             coarse_rtol=cfg.coarse_rtol,
             coarse_maxit=cfg.coarse_maxit,

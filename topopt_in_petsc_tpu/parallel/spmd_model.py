@@ -101,6 +101,9 @@ class SpmdElasticity:
         level_applies = None
         self._pallas_quadform = None
         self._bspmd = None
+        # per-shard size drives the 512^3-class auto levers (HBM and
+        # the ~1-2 min execution kill are PER-CHIP constraints)
+        local_ndof = 3 * int(np.prod(self.decomp.local_nn(0)))
         if impl == "blocked":
             from topopt_in_petsc_tpu.parallel.blocked_spmd import (
                 BlockedSpmdMG,
@@ -110,17 +113,12 @@ class SpmdElasticity:
             # kernel layout across the whole local solve, halos ride
             # blocked boundary planes (parallel/blocked_spmd.py) — no
             # per-apply relayout (the pallas path's 42%/matvec tax)
-            # per-shard size drives the 512^3-class levers: HBM and the
-            # ~1-2 min execution kill are PER-CHIP constraints, so the
-            # thresholds use LOCAL dof (single-chip elasticity.py uses
-            # the same cutoffs with global == local)
-            local_ndof = 3 * int(np.prod(self.decomp.local_nn(0)))
             self._bspmd = BlockedSpmdMG(
                 self.decomp,
                 KEs,
                 dof=3,
                 smooth_sweeps=cfg.smooth_sweeps,
-                cheby_lower=cfg.cheby_lower,
+                cheby_lower=cfg.resolve_cheby_lower(local_ndof),
                 cheby_upper=cfg.cheby_upper,
                 coarse_rtol=cfg.coarse_rtol,
                 coarse_maxit=cfg.coarse_maxit,
@@ -170,7 +168,7 @@ class SpmdElasticity:
             dof=3,
             dtype=self.dtype,
             smooth_sweeps=cfg.smooth_sweeps,
-            cheby_lower=cfg.cheby_lower,
+            cheby_lower=cfg.resolve_cheby_lower(local_ndof),
             cheby_upper=cfg.cheby_upper,
             coarse_rtol=cfg.coarse_rtol,
             coarse_maxit=cfg.coarse_maxit,
