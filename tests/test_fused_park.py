@@ -16,17 +16,20 @@ from topopt_in_petsc_tpu.parallel.fused_step import make_fused_step
 
 def _cfg(park, **kw):
     return TopOptConfig(
-        nx=17, ny=9, nz=9, nlvls=2, rmin=0.16, dtype="float32",
+        nx=17, ny=9, nz=9, nlvls=2, dtype="float32",
         operator_impl="blocked", ksp_chunk=8, park_design=park,
-        maxItr=3, **kw,
+        maxItr=3, **{"rmin": 0.16, **kw},
     )
 
 
-@pytest.mark.parametrize("projection", [False])
-def test_park_is_bit_exact(projection):
+# rmin 0.16 -> 3^3-tap direct conv; rmin 0.55 -> 9^3 taps -> the FFT
+# backend, whose parked route ships only the spectrum and RECOMPUTES
+# Hs in-program (opt/filters._Hs_or_recompute)
+@pytest.mark.parametrize("rmin", [0.16, 0.55])
+def test_park_is_bit_exact(rmin):
     traj = {}
     for park in (0, 1):
-        cfg = _cfg(park)
+        cfg = _cfg(park, rmin=rmin)
         cfg.validate()
         step, state = make_fused_step(cfg)
         vals = []

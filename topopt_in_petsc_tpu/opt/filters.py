@@ -144,9 +144,19 @@ class DesignFilter:
 
     # -- FilterProject (Filter.cc:60-117) ------------------------------- #
 
+    def _Hs_or_recompute(self, Hs, fft_consts, like):
+        """Hs=None (the parked giga-dof route) recomputes the ones-conv
+        in-program — ~0.2 s at 512^3 vs re-uploading the 0.54 GB field
+        over the slow host link every iteration; XLA CSEs duplicate
+        recomputes within one program."""
+        if Hs is not None:
+            return Hs
+        return self._conv(jnp.ones_like(like), fft_consts)
+
     def _project_impl(self, x, beta, eta, Hs=None, fft_consts=None, *,
                       projection: bool):
         if self.filterType == 1:
+            Hs = self._Hs_or_recompute(Hs, fft_consts, x)
             xTilde = self._conv(x, fft_consts) / Hs
         elif self.filterType == 2:
             xTilde, _ = self.pdef._project_core(x)
@@ -191,8 +201,10 @@ class DesignFilter:
         if self.filterType == 0:
             # sensitivity filter: dfdx <- (H (dfdx o x)) / Hs / x
             # (Filter.cc:167-177; x floored at Xmin=0.001, TopOpt.cc:357)
+            Hs = self._Hs_or_recompute(Hs, fft_consts, x)
             dfdx = self._conv(dfdx * x, fft_consts) / Hs / x
         elif self.filterType == 1:
+            Hs = self._Hs_or_recompute(Hs, fft_consts, x)
             dfdx = self._conv(dfdx / Hs, fft_consts)
             dgdx = jnp.stack(
                 [self._conv(dgdx[j] / Hs, fft_consts)

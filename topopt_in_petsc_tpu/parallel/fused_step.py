@@ -96,7 +96,11 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
         kernel layout; the nodal field needed by the u^T KE u quadratic
         form exists only as a TRANSIENT inside this program (XLA frees
         it after the quadform) — at 512^3 that keeps the dead 1.6 GB
-        (513,513,513,3) buffer out of the solve's peak HBM entirely."""
+        (513,513,513,3) buffer out of the solve's peak HBM entirely.
+
+        Hs may arrive as None (the parked giga-dof route): the filter
+        RECOMPUTES the ones-conv in-program (opt/filters.py) — ~0.2 s
+        at 512^3 vs re-uploading 0.54 GB over the slow host link."""
         Hs, fft_consts = filt_consts
         if u_blocked:
             u = physics._bsolver.op32.from_blocked(s.u, physics.dtype)
@@ -380,8 +384,21 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
             park = cfg.resolve_park(cfg.ndof)
             PARK_FIELDS = ("x", "xTilde", "L", "U", "xo1", "xo2")
             if park:
-                filt_consts_host = jax.tree_util.tree_map(
-                    np.asarray, filt_consts
+                # Hs is parked as None: the tail RECOMPUTES the
+                # ones-conv (one extra FFT conv, ~0.2 s at 512^3)
+                # instead of shipping the 0.54 GB field over the host
+                # link every iteration (filter 2 routes through the
+                # SPMD driver and never reaches this branch)
+                hs_host = (
+                    None if cfg.filter in (0, 1) and
+                    filt._fft_conv is not None
+                    else np.asarray(filt_consts[0])
+                )
+                filt_consts_host = (
+                    hs_host,
+                    jax.tree_util.tree_map(
+                        np.asarray, filt_consts[1]
+                    ),
                 )
                 # drop every device reference to the spectra/Hs so the
                 # HBM is actually freed during the solve phase
