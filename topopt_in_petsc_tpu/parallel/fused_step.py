@@ -424,10 +424,19 @@ def make_fused_step(cfg: TopOptConfig, mesh=None, return_aux: bool = False):
                 if park:
                     # restore the parked host fields for the tail
                     # (jnp.asarray is a no-op on device leaves, e.g.
-                    # after a beta-continuation reprojection)
+                    # after a beta-continuation reprojection).  Without
+                    # projection the old xTilde is DEAD in the tail
+                    # (only the projection chain rule reads it): a
+                    # device-side zeros placeholder skips its 0.54 GB
+                    # upload (~24 s/iteration on this link)
+                    def _restore(f):
+                        v = getattr(s, f)
+                        if f == "xTilde" and not projection:
+                            return jnp.zeros(v.shape, v.dtype)
+                        return jnp.asarray(v)
+
                     s = s._replace(**{
-                        f: jnp.asarray(getattr(s, f))
-                        for f in PARK_FIELDS
+                        f: _restore(f) for f in PARK_FIELDS
                     })
                     fc = jax.tree_util.tree_map(
                         jnp.asarray, filt_consts_host
