@@ -123,6 +123,8 @@ class Driver:
         )
 
     def _write_restart(self):
+        if not self.restart_mgr.enabled:
+            return
         xo1, xo2, U, L = self.mma.restart_vectors()
         self.restart_mgr.write(
             self.itr, self.fscale, self.x, self.xPhys, xo1, xo2, U, L,

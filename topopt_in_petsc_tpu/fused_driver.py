@@ -119,6 +119,10 @@ class FusedDriver:
             )
 
     def _write_restart(self):
+        if not self.restart_mgr.enabled:
+            # skip the argument gathers too: u_to_nodal + the D2H
+            # transfers below are ~3.5 min at 512^3 on this link
+            return
         s = self.state
         self.restart_mgr.write(
             self.itr, float(s.fscale),
