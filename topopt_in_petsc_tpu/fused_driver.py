@@ -146,6 +146,12 @@ class FusedDriver:
             s.x, s.beta, jnp.asarray(cfg.eta, self.dtype),
             *self._filt_consts,
         )
+        # parked (giga-dof) states must keep xTilde on the HOST: a
+        # device leaf here sits through the next solve phase and its
+        # 0.54 GB blows the razor-thin 512^3 HBM margin (hardware:
+        # runs/driver_512.log round 5)
+        if isinstance(s.xTilde, np.ndarray):
+            xTilde = np.asarray(xTilde)
         self.state = s._replace(xTilde=xTilde, xPhys=xPhys)
         history = {"fx": [], "gx": [], "ch": [], "mnd": [], "iters": [],
                    "time": [], "stalled": []}
@@ -184,6 +190,9 @@ class FusedDriver:
                         *self._filt_consts,
                     )
                     mnd = float(jnp.mean(4.0 * xPhys * (1.0 - xPhys)))
+                    if isinstance(s.xTilde, np.ndarray):
+                        # keep the parked invariant (see run() head)
+                        xTilde = np.asarray(xTilde)
                     self.state = self.state._replace(
                         beta=beta_a, xTilde=xTilde, xPhys=xPhys,
                     )
